@@ -1,0 +1,184 @@
+"""Per-Gaussian preprocessing: frustum cull, EWA 3D->2D covariance projection,
+conic/radius computation, SH colour, inverse depth.
+
+This is the "preprocess" stage of the reference CUDA rasterizer
+(diff-gaussian-rasterization branch `dr_aa`, called via
+`gaussian_renderer/__init__.py:90-112`), re-derived as batched jnp. It is pure
+elementwise + 3x3 matmul work over N Gaussians — exactly what XLA vectorises
+onto the VPU/MXU and fuses; a hand-written kernel adds nothing here. The hot,
+irregular part (tile binning + ordered compositing) lives in the Pallas path.
+
+Numerical contract (for allclose parity with the CUDA renderer):
+  * cull when camera-space z <= 0.2
+  * J uses t.x/t.y clamped to ±1.3·tan(fov/2)·z
+  * 2D covariance dilated by +0.3 on the diagonal
+  * antialiasing ON: opacity scaled by sqrt(max(2.5e-5, det(Σ2d)/det(Σ2d+0.3I)))
+  * radius = ceil(3·sqrt(λ_max)) with λ via mid ± sqrt(max(0.1, mid²−det))
+  * pixel coords: ndc2Pix(v, S) = ((v+1)·S − 1)/2
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..core import sh as shlib
+
+# CUDA-parity constants.
+FRUSTUM_NEAR_Z = 0.2
+DILATION = 0.3
+AA_DET_FLOOR = 2.5e-5
+LAMBDA_FLOOR = 0.1
+TILE = 16  # BLOCK_X = BLOCK_Y = 16 in the reference rasterizer
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ProjectedGaussians:
+    """Screen-space Gaussians ready for binning/compositing. All (N, ...)."""
+
+    mean2d: jnp.ndarray    # (N, 2) pixel coordinates
+    conic: jnp.ndarray     # (N, 3) inverse 2D covariance (a, b, c): ax²+2bxy+cy²
+    opacity: jnp.ndarray   # (N,) post-activation, AA-rescaled
+    rgb: jnp.ndarray       # (N, 3)
+    depth: jnp.ndarray     # (N,) camera-space z (sort key)
+    invdepth: jnp.ndarray  # (N,) 1/z
+    radius: jnp.ndarray    # (N,) int32 screen radius in pixels; 0 = culled
+
+
+def compute_cov2d(mean3d, cov3d, viewmatrix, focal_x, focal_y,
+                  tan_fovx, tan_fovy):
+    """EWA splatting: Σ2d = J W Σ Wᵀ Jᵀ (+ dilation added by caller).
+
+    Args:
+      mean3d: (N, 3) world positions.
+      cov3d: (N, 3, 3) world-space covariance.
+      viewmatrix: (4, 4) world->camera, column-vector convention.
+    Returns:
+      (N, 2, 2) un-dilated 2D covariance, (N, 3) camera-space position.
+    """
+    W = viewmatrix[:3, :3]
+    t = mean3d @ W.T + viewmatrix[:3, 3]
+    tz = t[:, 2]
+    # Clamp the x/y extent used for the Jacobian to the (widened) frustum.
+    limx = 1.3 * tan_fovx
+    limy = 1.3 * tan_fovy
+    txz = jnp.clip(t[:, 0] / tz, -limx, limx) * tz
+    tyz = jnp.clip(t[:, 1] / tz, -limy, limy) * tz
+    inv_z = 1.0 / tz
+    inv_z2 = inv_z * inv_z
+    zero = jnp.zeros_like(tz)
+    # J: (N, 2, 3) — only the two projected rows matter.
+    J = jnp.stack(
+        [
+            jnp.stack([focal_x * inv_z, zero, -focal_x * txz * inv_z2], axis=-1),
+            jnp.stack([zero, focal_y * inv_z, -focal_y * tyz * inv_z2], axis=-1),
+        ],
+        axis=-2,
+    )
+    JW = J @ W  # (N, 2, 3)
+    cov2d = JW @ cov3d @ jnp.swapaxes(JW, -1, -2)
+    return cov2d, t
+
+
+def project_gaussians(
+    means3d: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    opacity: jnp.ndarray,
+    sh_coeffs: jnp.ndarray,
+    sh_degree: int,
+    viewmatrix: jnp.ndarray,
+    full_proj: jnp.ndarray,
+    cam_center: jnp.ndarray,
+    width: int,
+    height: int,
+    tan_fovx: float,
+    tan_fovy: float,
+    antialiasing: bool = False,
+    valid_mask: jnp.ndarray | None = None,
+    colors_precomp: jnp.ndarray | None = None,
+) -> ProjectedGaussians:
+    """Full preprocess. Culled/padded Gaussians get radius 0 and opacity 0.
+
+    `valid_mask` marks live rows of the fixed-capacity Gaussian store; padded
+    rows are culled unconditionally.
+    """
+    n = means3d.shape[0]
+    focal_x = width / (2.0 * tan_fovx)
+    focal_y = height / (2.0 * tan_fovy)
+
+    # Homogeneous projection -> NDC -> pixels.
+    hom = means3d @ full_proj[:3, :3].T + full_proj[:3, 3]
+    w = means3d @ full_proj[3, :3] + full_proj[3, 3]
+    inv_w = 1.0 / (w + 1e-7)
+    ndc = hom * inv_w[:, None]
+    mean2d = jnp.stack(
+        [((ndc[:, 0] + 1.0) * width - 1.0) * 0.5,
+         ((ndc[:, 1] + 1.0) * height - 1.0) * 0.5],
+        axis=-1,
+    )
+
+    cov2d, t = compute_cov2d(means3d, cov3d, viewmatrix, focal_x, focal_y,
+                             tan_fovx, tan_fovy)
+    det_raw = (cov2d[:, 0, 0] * cov2d[:, 1, 1]
+               - cov2d[:, 0, 1] * cov2d[:, 1, 0])
+    cxx = cov2d[:, 0, 0] + DILATION
+    cyy = cov2d[:, 1, 1] + DILATION
+    cxy = cov2d[:, 0, 1]
+    det = cxx * cyy - cxy * cxy
+    det_inv = jnp.where(det != 0.0, 1.0 / det, 0.0)
+    conic = jnp.stack([cyy * det_inv, -cxy * det_inv, cxx * det_inv], axis=-1)
+
+    mid = 0.5 * (cxx + cyy)
+    lam = mid + jnp.sqrt(jnp.maximum(LAMBDA_FLOOR, mid * mid - det))
+    radius = jnp.ceil(3.0 * jnp.sqrt(lam))
+
+    cull = t[:, 2] <= FRUSTUM_NEAR_Z
+    cull |= det == 0.0
+    if valid_mask is not None:
+        cull |= ~valid_mask
+    radius = jnp.where(cull, 0, radius).astype(jnp.int32)
+
+    op = opacity
+    if antialiasing:
+        aa = jnp.sqrt(jnp.maximum(AA_DET_FLOOR, det_raw * det_inv))
+        op = op * aa
+    op = jnp.where(cull, 0.0, op)
+
+    if colors_precomp is not None:
+        rgb = colors_precomp
+    else:
+        dirs = means3d - cam_center[None, :]
+        dirs = dirs / jnp.maximum(
+            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+        rgb = shlib.sh_to_color(sh_degree, sh_coeffs, dirs)
+
+    depth = jnp.where(cull, jnp.inf, t[:, 2])
+    invdepth = jnp.where(cull, 0.0, 1.0 / jnp.maximum(t[:, 2], 1e-6))
+    del n
+    return ProjectedGaussians(
+        mean2d=mean2d, conic=conic, opacity=op, rgb=rgb,
+        depth=depth, invdepth=invdepth, radius=radius,
+    )
+
+
+def tile_rect(mean2d: jnp.ndarray, radius: jnp.ndarray, width: int, height: int):
+    """Tile-grid bounding rect of each Gaussian, CUDA `getRect` semantics.
+
+    Returns (xmin, ymin, xmax, ymax) in tile units, half-open, each (N,) int32.
+    A Gaussian covers tiles with xmin <= tx < xmax and ymin <= ty < ymax;
+    radius == 0 yields an empty rect.
+    """
+    grid_x = (width + TILE - 1) // TILE
+    grid_y = (height + TILE - 1) // TILE
+    r = radius.astype(jnp.float32)
+    xmin = jnp.clip(((mean2d[:, 0] - r) / TILE).astype(jnp.int32), 0, grid_x)
+    ymin = jnp.clip(((mean2d[:, 1] - r) / TILE).astype(jnp.int32), 0, grid_y)
+    xmax = jnp.clip(((mean2d[:, 0] + r + TILE - 1) / TILE).astype(jnp.int32), 0, grid_x)
+    ymax = jnp.clip(((mean2d[:, 1] + r + TILE - 1) / TILE).astype(jnp.int32), 0, grid_y)
+    empty = radius <= 0
+    xmax = jnp.where(empty, xmin, xmax)
+    ymax = jnp.where(empty, ymin, ymax)
+    return xmin, ymin, xmax, ymax

@@ -1,0 +1,61 @@
+"""SSIM — XLA-fused separable-convolution implementation.
+
+TPU-native replacement for BOTH reference SSIM paths (SURVEY.md §2.5):
+the pure-torch `utils/loss_utils.py:46-86` and the CUDA `fused-ssim`
+submodule. Constants match: 11×11 Gaussian window σ=1.5, C1=0.01², C2=0.03²,
+zero-padded "same" convolution. The separable 1×11/11×1 depthwise convs fuse
+into two passes over the image; autodiff supplies the backward (the CUDA
+"fused" backward exists only because torch couldn't fuse — XLA can).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+C1 = 0.01 ** 2
+C2 = 0.03 ** 2
+
+
+def gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    xs = np.arange(window_size) - window_size // 2
+    g = np.exp(-(xs ** 2) / (2.0 * sigma ** 2))
+    return (g / g.sum()).astype(np.float32)
+
+
+def _blur(x: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise separable same-padded Gaussian blur. x: (C, H, W)."""
+    c = x.shape[0]
+    w = window.shape[0]
+    x = x[None]  # (1, C, H, W)
+    kh = jnp.tile(window.reshape(1, 1, w, 1), (c, 1, 1, 1))
+    kw = jnp.tile(window.reshape(1, 1, 1, w), (c, 1, 1, 1))
+    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape,
+                                        ("NCHW", "OIHW", "NCHW"))
+    pad = w // 2
+    x = jax.lax.conv_general_dilated(
+        x, kh, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn,
+        feature_group_count=c)
+    x = jax.lax.conv_general_dilated(
+        x, kw, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn,
+        feature_group_count=c)
+    return x[0]
+
+
+@partial(jax.jit, static_argnames=("window_size",))
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray,
+         window_size: int = 11) -> jnp.ndarray:
+    """Mean SSIM over a (C, H, W) image pair in [0, 1]."""
+    window = jnp.asarray(gaussian_window(window_size))
+    mu1 = _blur(img1, window)
+    mu2 = _blur(img2, window)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = _blur(img1 * img1, window) - mu1_sq
+    sigma2_sq = _blur(img2 * img2, window) - mu2_sq
+    sigma12 = _blur(img1 * img2, window) - mu1_mu2
+    ssim_map = ((2.0 * mu1_mu2 + C1) * (2.0 * sigma12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2))
+    return jnp.mean(ssim_map)

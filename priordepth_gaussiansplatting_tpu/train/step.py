@@ -1,0 +1,158 @@
+"""The jitted training step: render → loss → backward → Adam → densify stats.
+
+Functional equivalent of one iteration of the reference `train.py:100-342` hot
+loop, fused into a single XLA program per camera resolution. The screen-space
+densification gradient is harvested by differentiating w.r.t. a zeros-valued
+`screen_offset` added to the projected 2D means (see ops/render.py), replacing
+the reference's retain_grad dummy tensor.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.cameras import Camera
+from ..core.schedules import expon_lr
+from ..models import densify as densify_ops
+from ..models.gaussians import GaussianState
+from ..ops import losses
+from ..ops.render import render
+from ..utils.config import OptimizationConfig, PipelineConfig
+from . import optim
+
+
+def depth_l1_weight(step, cfg: OptimizationConfig):
+    """1.0 → 0.01 log-linear over the run (`arguments/__init__.py:96-97`)."""
+    return expon_lr(step, cfg.depth_l1_weight_init, cfg.depth_l1_weight_final,
+                    max_steps=cfg.iterations)
+
+
+def learning_rates(step, cfg: OptimizationConfig,
+                   spatial_lr_scale: float) -> optim.LearningRates:
+    """Per-group LRs at `step` (`gaussian_model.py:180-226`)."""
+    xyz = expon_lr(step,
+                   cfg.position_lr_init * spatial_lr_scale,
+                   cfg.position_lr_final * spatial_lr_scale,
+                   lr_delay_mult=cfg.position_lr_delay_mult,
+                   max_steps=cfg.position_lr_max_steps)
+    exposure = expon_lr(step, cfg.exposure_lr_init, cfg.exposure_lr_final,
+                        lr_delay_steps=cfg.exposure_lr_delay_steps,
+                        lr_delay_mult=cfg.exposure_lr_delay_mult,
+                        max_steps=cfg.iterations)
+    as_arr = lambda v: jnp.asarray(v, dtype=jnp.float32)
+    return optim.LearningRates(
+        xyz=xyz,
+        features_dc=as_arr(cfg.feature_lr),
+        features_rest=as_arr(cfg.feature_lr / 20.0),
+        scaling=as_arr(cfg.scaling_lr),
+        rotation=as_arr(cfg.rotation_lr),
+        opacity=as_arr(cfg.opacity_lr),
+        exposure=exposure,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainStepFns:
+    """Bundled jitted functions for one (opt_cfg, pipe_cfg) setting."""
+
+    step: callable
+    densify: callable
+    reset_opacity: callable
+
+
+def make_train_step(opt_cfg: OptimizationConfig, pipe_cfg: PipelineConfig,
+                    use_trained_exp: bool = False):
+    """Build the jitted train step closed over static hyperparameters."""
+    sparse = opt_cfg.optimizer_type == "sparse_adam"
+    backend = pipe_cfg.backend
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(state: GaussianState, opt_state: optim.AdamState,
+                   camera: Camera, step: jnp.ndarray, key: jax.Array,
+                   bg_color: jnp.ndarray):
+        kb, ks = jax.random.split(key)
+        if opt_cfg.random_background:
+            bg = jax.random.uniform(kb, (3,))
+        else:
+            bg = bg_color
+
+        screen_offset = jnp.zeros((state.capacity, 2), dtype=jnp.float32)
+
+        def loss_fn(params, screen_offset):
+            st = state.replace(params=params)
+            out = render(camera, st, bg,
+                         antialiasing=pipe_cfg.antialiasing,
+                         use_trained_exp=use_trained_exp,
+                         screen_offset=screen_offset,
+                         backend=backend)
+            image = out["render"]
+            gt = camera.image
+            if camera.alpha_mask is not None:
+                image = image * camera.alpha_mask[None]
+            ll1 = losses.l1_loss(image, gt)
+            ssim_v = losses.ssim(image, gt)
+            loss = ((1.0 - opt_cfg.lambda_dssim) * ll1
+                    + opt_cfg.lambda_dssim * (1.0 - ssim_v))
+            dloss = jnp.zeros(())
+            if opt_cfg.depth_feedback and camera.invdepth is not None:
+                w = depth_l1_weight(step, opt_cfg)
+                mask = (camera.depth_mask if camera.depth_mask is not None
+                        else jnp.ones_like(camera.invdepth))
+                dloss = w * losses.depth_l1_loss(
+                    out["invdepth"][0], camera.invdepth, mask)
+                loss = loss + dloss
+            aux = {"radii": out["radii"], "l1": ll1, "ssim": ssim_v,
+                   "depth_loss": dloss, "image": image}
+            return loss, aux
+
+        (loss, aux), (param_grads, screen_grads) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(state.params, screen_offset)
+
+        radii = aux["radii"]
+        visibility = radii > 0
+        lrs = learning_rates(step, opt_cfg, state.spatial_lr_scale)
+        new_params, opt_state = optim.adam_update(
+            state.params, param_grads, opt_state, lrs,
+            visibility=visibility, sparse=sparse)
+        state = state.replace(params=new_params)
+        state = densify_ops.add_densification_stats(
+            state, screen_grads, radii, camera.width, camera.height)
+        metrics = {
+            "loss": loss, "l1": aux["l1"], "ssim": aux["ssim"],
+            "depth_loss": aux["depth_loss"],
+            "n_visible": jnp.sum(visibility.astype(jnp.int32)),
+            "n_active": state.num_active,
+        }
+        return state, opt_state, metrics
+
+    def densify(state, opt_state, key, use_size_threshold: bool = False):
+        # size_threshold=20px only after the first opacity reset
+        # (`train.py:318-321`: `if iteration > opt.opacity_reset_interval`).
+        max_screen = 20.0 if use_size_threshold else 0.0
+        return densify_ops.densify_and_prune(
+            state, opt_state, key,
+            opt_cfg.densify_grad_threshold, 0.005,
+            state.spatial_lr_scale, max_screen,
+            percent_dense=opt_cfg.percent_dense)
+
+    return TrainStepFns(step=train_step, densify=densify,
+                        reset_opacity=densify_ops.reset_opacity)
+
+
+def eval_image(camera: Camera, state: GaussianState, bg: jnp.ndarray,
+               antialiasing: bool = False, use_trained_exp: bool = False,
+               backend: str = "auto"):
+    """No-grad render + PSNR/L1 for validation (`train.py:402-445`)."""
+    out = render(camera, state, bg, antialiasing=antialiasing,
+                 use_trained_exp=use_trained_exp, backend=backend)
+    img = out["render"]
+    res = {"render": img}
+    if camera.image is not None:
+        res["psnr"] = losses.psnr(img, camera.image)
+        res["l1"] = losses.l1_loss(img, camera.image)
+    return res
