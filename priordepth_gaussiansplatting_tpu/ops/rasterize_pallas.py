@@ -1,0 +1,428 @@
+"""Pallas TPU tile rasterizer: front-to-back alpha compositing with an
+analytic custom-VJP backward.
+
+This is the TPU-native replacement for the reference's CUDA
+`diff-gaussian-rasterization` render/backward kernels (SURVEY.md §2.9.1).
+Design (per SURVEY.md §7.3 / BASELINE.json north star):
+
+  * binning + depth sort happen in XLA (ops/binning.py) with a static pair
+    capacity; this module consumes the depth-sorted packed pair attributes
+    `attrs` of shape (16, P_pad): attribute rows on sublanes, pairs on lanes,
+    so chunk DMAs are tile-aligned (chunk starts are floored to CHUNK and
+    out-of-range pairs masked — the kernel-side equivalent of the CUDA
+    range loop).
+  * the FORWARD kernel runs a sequential grid over 16×16 tiles. Each grid
+    step DMA-streams its tile's sorted pairs from HBM in chunks of CHUNK,
+    computes the (PIX, CHUNK) alpha matrix on the VPU, the ordered
+    transmittance scan with a log-step roll-multiply (Hillis–Steele) along
+    the pair axis, and colour/inverse-depth accumulation as MXU
+    contractions. Early termination skips chunks once every pixel's
+    transmittance is below 1e-4 (CUDA parity).
+  * the BACKWARD kernel re-runs the sweep in forward order, converting the
+    reverse-order CUDA formulation into prefix sums: with the forward totals
+    (C, D, T_fin) saved, the suffix Σ_{j>k} w_j ρ_j needed by dα_k is
+    R_total − prefix, where ρ folds all colour/depth cotangents into one
+    per-(pixel, pair) field — one extra scan per chunk instead of a reverse
+    sweep. Per-pair gradients are written back to HBM with
+    read-modify-write chunks (the sequential grid makes the inter-tile
+    overlap at aligned chunk boundaries safe); the pair→Gaussian reduction
+    is the autodiff VJP of the attribute gather (an XLA scatter-add).
+
+Compositing semantics match the oracle (ops/reference.py) and the CUDA
+renderer: alpha = min(0.99, op·exp(power)), skip if power>0 or alpha<1/255,
+stop before the pair that would drop transmittance below 1e-4.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import binning
+from .projection import TILE, ProjectedGaussians
+
+ALPHA_MAX = 0.99
+ALPHA_MIN = 1.0 / 255.0
+T_EPS = 1e-4
+CHUNK = 512          # pairs per DMA/compute chunk (multiple of 128)
+PIX = TILE * TILE    # 256 pixels per tile
+NROW = binning.ATTR_ROWS
+ROWS = 16            # attrs rows padded to a sublane-tile multiple
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _scan_lanes(x: jnp.ndarray, op, identity: float) -> jnp.ndarray:
+    """Inclusive scan along the lane axis (axis 1) via log-step roll-combine."""
+    k = x.shape[1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    shift = 1
+    while shift < k:
+        rolled = pltpu.roll(x, shift, axis=1)
+        x = op(x, jnp.where(idx >= shift, rolled, jnp.full_like(x, identity)))
+        shift *= 2
+    return x
+
+
+def _cumprod1(x):
+    return _scan_lanes(x, jax.lax.mul, 1.0)
+
+
+def _cumsum1(x):
+    return _scan_lanes(x, jax.lax.add, 0.0)
+
+
+def _pixel_coords(t, grid_x):
+    """Pixel centres of tile t as (PIX, 1) f32 columns (x and y)."""
+    tx = t % grid_x
+    ty = t // grid_x
+    pix = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    px = (tx * TILE + pix % TILE).astype(jnp.float32)
+    py = (ty * TILE + pix // TILE).astype(jnp.float32)
+    return px, py
+
+
+def _chunk_alpha(chunk, px, py, astart, start, end, i):
+    """Alpha matrix + validity for one chunk.
+
+    chunk: (ROWS, CHUNK) VMEM values (attribute rows on sublanes).
+    Returns (PIX, CHUNK) alpha/aux fields.
+    """
+    mx = chunk[binning.ATTR_MX:binning.ATTR_MX + 1, :]   # (1, K)
+    my = chunk[binning.ATTR_MY:binning.ATTR_MY + 1, :]
+    ca = chunk[binning.ATTR_CA:binning.ATTR_CA + 1, :]
+    cb = chunk[binning.ATTR_CB:binning.ATTR_CB + 1, :]
+    cc = chunk[binning.ATTR_CC:binning.ATTR_CC + 1, :]
+    op = chunk[binning.ATTR_OP:binning.ATTR_OP + 1, :]
+    dx = px - mx  # (PIX, K)
+    dy = py - my
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    g = jnp.exp(power)
+    raw = op * g
+    alpha = jnp.minimum(ALPHA_MAX, raw)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    pos = astart + i * CHUNK + lane
+    in_range = (pos >= start) & (pos < end)  # (1, K)
+    keep = in_range & (power <= 0.0) & (alpha >= ALPHA_MIN)
+    a_eff = jnp.where(keep, alpha, 0.0)
+    return a_eff, keep, g, raw, dx, dy
+
+
+def _tile_range(start_ref, end_ref, t):
+    start = start_ref[t]
+    end = end_ref[t]
+    astart = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+    nchunks = jnp.where(end > start, pl.cdiv(end - astart, CHUNK), 0)
+    return astart, start, end, nchunks
+
+
+def _fwd_kernel(start_ref, end_ref, attrs_hbm, color_ref, invd_ref, t_ref,
+                chunk_ref, sem, *, grid_x):
+    t = pl.program_id(0)
+    astart, start, end, nchunks = _tile_range(start_ref, end_ref, t)
+    px, py = _pixel_coords(t, grid_x)
+
+    def body(i, carry):
+        # R: UNMASKED running product over all kept pairs — the liveness
+        # state (once < eps it never revives, even for tiny later alphas:
+        # the sequential loop's `done` flag). Tm: live-masked product — the
+        # actual final transmittance the background is composited with.
+        R, Tm, C, D = carry  # (PIX,1), (PIX,1), (PIX,3), (PIX,1)
+
+        def compute(carry):
+            R, Tm, C, D = carry
+            dma = pltpu.make_async_copy(
+                attrs_hbm.at[:, pl.ds(astart + i * CHUNK, CHUNK)],
+                chunk_ref, sem)
+            dma.start()
+            dma.wait()
+            chunk = chunk_ref[:, :]
+            a_eff, keep, _, _, _, _ = _chunk_alpha(chunk, px, py, astart,
+                                                   start, end, i)
+            one_m = 1.0 - a_eff
+            cp = _cumprod1(one_m)
+            incl = R * cp                        # (PIX, K)
+            live = incl >= T_EPS
+            excl = incl / one_m
+            w = jnp.where(live, a_eff * excl, 0.0)
+            contract = (((1,), (1,)), ((), ()))
+            C = C + jax.lax.dot_general(
+                w, chunk[binning.ATTR_R:binning.ATTR_B + 1, :], contract,
+                preferred_element_type=jnp.float32)   # (PIX, 3)
+            D = D + jax.lax.dot_general(
+                w, chunk[binning.ATTR_ID:binning.ATTR_ID + 1, :], contract,
+                preferred_element_type=jnp.float32)   # (PIX, 1)
+            R = R * cp[:, -1:]
+            # reduce_prod is unsupported in Mosaic; use the last column of the
+            # live-masked cumulative product.
+            Tm = Tm * _cumprod1(jnp.where(live, one_m, 1.0))[:, -1:]
+            return R, Tm, C, D
+
+        return jax.lax.cond(jnp.any(R >= T_EPS), compute, lambda c: c,
+                            (R, Tm, C, D))
+
+    T0 = jnp.ones((PIX, 1), jnp.float32)
+    C0 = jnp.zeros((PIX, 3), jnp.float32)
+    D0 = jnp.zeros((PIX, 1), jnp.float32)
+    _, Tm, C, D = jax.lax.fori_loop(
+        0, nchunks, body, (T0, jnp.ones((PIX, 1), jnp.float32), C0, D0))
+    color_ref[0] = C
+    invd_ref[0] = D
+    t_ref[0] = Tm
+
+
+def _bwd_kernel(start_ref, end_ref, attrs_hbm, dC_ref, dD_ref, dT_ref,
+                ctot_ref, dtot_ref, tfin_ref, dattrs_hbm,
+                chunk_ref, gchunk_ref, sem, gsem, *, grid_x):
+    t = pl.program_id(0)
+    astart, start, end, nchunks = _tile_range(start_ref, end_ref, t)
+    px, py = _pixel_coords(t, grid_x)
+
+    dC = dC_ref[0]      # (PIX, 3)
+    dD = dD_ref[0]      # (PIX, 1)
+    dT = dT_ref[0]      # (PIX, 1)
+    tfin = tfin_ref[0]  # (PIX, 1)
+    # R_total = Σ_c dC_c·C_total_c + dD·D_total per pixel: (PIX, 1).
+    r_total = (jnp.sum(dC * ctot_ref[0], axis=1, keepdims=True)
+               + dD * dtot_ref[0])
+    dt_tfin = dT * tfin  # (PIX, 1)
+
+    def body(i, carry):
+        R, r_pref = carry  # (PIX,1), (PIX,1) — R: unmasked kept-product
+        dma = pltpu.make_async_copy(
+            attrs_hbm.at[:, pl.ds(astart + i * CHUNK, CHUNK)], chunk_ref, sem)
+        dma.start()
+        # Read-modify-write: fetch the current grad chunk so lanes owned by
+        # neighbouring tiles (aligned-chunk overlap) are preserved.
+        gdma = pltpu.make_async_copy(
+            dattrs_hbm.at[:, pl.ds(astart + i * CHUNK, CHUNK)], gchunk_ref,
+            gsem)
+        gdma.start()
+        dma.wait()
+        chunk = chunk_ref[:, :]
+        a_eff, keep, g, raw, dx, dy = _chunk_alpha(chunk, px, py, astart,
+                                                   start, end, i)
+        one_m = 1.0 - a_eff
+        cp = _cumprod1(one_m)
+        incl = R * cp
+        live = incl >= T_EPS
+        excl = incl / one_m
+        w = jnp.where(live, a_eff * excl, 0.0)  # (PIX, K)
+
+        # ρ(pix, k) = Σ_c dC_c·c_k_c + dD·d_k — folds all cotangents.
+        rho = jax.lax.dot_general(
+            dC, chunk[binning.ATTR_R:binning.ATTR_B + 1, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) \
+            + dD * chunk[binning.ATTR_ID:binning.ATTR_ID + 1, :]
+        wrho = w * rho
+        cum_wrho = _cumsum1(wrho)                       # inclusive prefix
+        suffix = r_total - r_pref - cum_wrho            # Σ_{j>k} w_j ρ_j
+        g_alpha = jnp.where(
+            live & keep,
+            excl * rho - (suffix + dt_tfin) / one_m,
+            0.0)                                        # (PIX, K)
+        # Through alpha = min(0.99, op·G): the clamp kills the gradient.
+        g_alpha = jnp.where(raw < ALPHA_MAX, g_alpha, 0.0)
+
+        d_op = jnp.sum(g * g_alpha, axis=0, keepdims=True)       # (1, K)
+        d_power = a_eff * g_alpha                                # = op·G·gα
+        ca = chunk[binning.ATTR_CA:binning.ATTR_CA + 1, :]
+        cb = chunk[binning.ATTR_CB:binning.ATTR_CB + 1, :]
+        cc = chunk[binning.ATTR_CC:binning.ATTR_CC + 1, :]
+        ddx = d_power * (-(ca * dx + cb * dy))
+        ddy = d_power * (-(cc * dy + cb * dx))
+        d_mx = -jnp.sum(ddx, axis=0, keepdims=True)
+        d_my = -jnp.sum(ddy, axis=0, keepdims=True)
+        d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True)
+        d_cb = jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True)
+        d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True)
+        contract = (((0,), (0,)), ((), ()))
+        d_rgb = jax.lax.dot_general(dC, w, contract,
+                                    preferred_element_type=jnp.float32)  # (3,K)
+        d_id = jax.lax.dot_general(dD, w, contract,
+                                   preferred_element_type=jnp.float32)  # (1,K)
+
+        new_g = jnp.concatenate(
+            [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_rgb, d_id,
+             jnp.zeros((ROWS - NROW, CHUNK), jnp.float32)], axis=0)
+        gdma.wait()
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        pos = astart + i * CHUNK + lane
+        owned = (pos >= start) & (pos < end)
+        gchunk_ref[:, :] = jnp.where(owned, new_g, gchunk_ref[:, :])
+        wdma = pltpu.make_async_copy(
+            gchunk_ref, dattrs_hbm.at[:, pl.ds(astart + i * CHUNK, CHUNK)],
+            gsem)
+        wdma.start()
+        wdma.wait()
+
+        R = R * cp[:, -1:]
+        r_pref = r_pref + cum_wrho[:, -1:]
+        return R, r_pref
+
+    T0 = jnp.ones((PIX, 1), jnp.float32)
+    R0 = jnp.zeros((PIX, 1), jnp.float32)
+    jax.lax.fori_loop(0, nchunks, body, (T0, R0))
+
+
+def _tiles_to_image(tiles: jnp.ndarray, grid_x: int, grid_y: int,
+                    width: int, height: int) -> jnp.ndarray:
+    """(num_tiles, PIX, C) -> (C, H, W), cropping grid padding."""
+    c = tiles.shape[2]
+    img = tiles.reshape(grid_y, grid_x, TILE, TILE, c)
+    img = img.transpose(4, 0, 2, 1, 3).reshape(c, grid_y * TILE,
+                                               grid_x * TILE)
+    return img[:, :height, :width]
+
+
+def _image_to_tiles(img: jnp.ndarray, grid_x: int, grid_y: int) -> jnp.ndarray:
+    """(C, H, W) zero-pad to the tile grid and invert _tiles_to_image."""
+    c, h, w = img.shape
+    img = jnp.pad(img, ((0, 0), (0, grid_y * TILE - h), (0, grid_x * TILE - w)))
+    img = img.reshape(c, grid_y, TILE, grid_x, TILE)
+    return img.transpose(1, 3, 2, 4, 0).reshape(grid_y * grid_x, PIX, c)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_composite(width: int, height: int, p_pad: int, interpret: bool):
+    """Build the custom-VJP composite for one (resolution, capacity)."""
+    grid_x, grid_y = binning.grid_shape(width, height)
+    num_tiles = grid_x * grid_y
+
+    fwd_call = pl.pallas_call(
+        functools.partial(_fwd_kernel, grid_x=grid_x),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=[
+                pl.BlockSpec((1, PIX, 3), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, PIX, 1), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, PIX, 1), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((ROWS, CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, PIX, 3), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, PIX, 1), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, PIX, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+    bwd_call = pl.pallas_call(
+        functools.partial(_bwd_kernel, grid_x=grid_x),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),   # attrs
+                pl.BlockSpec((1, PIX, 3), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),  # dC
+                pl.BlockSpec((1, PIX, 1), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),  # dD
+                pl.BlockSpec((1, PIX, 1), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),  # dT
+                pl.BlockSpec((1, PIX, 3), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),  # C_total
+                pl.BlockSpec((1, PIX, 1), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),  # D_total
+                pl.BlockSpec((1, PIX, 1), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),  # T_fin
+            ],
+            out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # dattrs
+            scratch_shapes=[
+                pltpu.VMEM((ROWS, CHUNK), jnp.float32),
+                pltpu.VMEM((ROWS, CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((ROWS, p_pad), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )
+
+    @jax.custom_vjp
+    def composite(attrs, tile_start, tile_end):
+        color_t, invd_t, t_t = fwd_call(tile_start, tile_end, attrs)
+        return (_tiles_to_image(color_t, grid_x, grid_y, width, height),
+                _tiles_to_image(invd_t, grid_x, grid_y, width, height),
+                _tiles_to_image(t_t, grid_x, grid_y, width, height))
+
+    def composite_fwd(attrs, tile_start, tile_end):
+        color_t, invd_t, t_t = fwd_call(tile_start, tile_end, attrs)
+        out = (_tiles_to_image(color_t, grid_x, grid_y, width, height),
+               _tiles_to_image(invd_t, grid_x, grid_y, width, height),
+               _tiles_to_image(t_t, grid_x, grid_y, width, height))
+        return out, (attrs, tile_start, tile_end, color_t, invd_t, t_t)
+
+    def composite_bwd(res, cts):
+        attrs, tile_start, tile_end, color_t, invd_t, t_t = res
+        d_color, d_invd, d_t = cts
+        zc = jnp.zeros((3, height, width), jnp.float32)
+        z1 = jnp.zeros((1, height, width), jnp.float32)
+        d_color = zc if d_color is None else d_color
+        d_invd = z1 if d_invd is None else d_invd
+        d_t = z1 if d_t is None else d_t
+        dC_t = _image_to_tiles(d_color, grid_x, grid_y)
+        dD_t = _image_to_tiles(d_invd, grid_x, grid_y)
+        dT_t = _image_to_tiles(d_t, grid_x, grid_y)
+        (d_attrs,) = bwd_call(tile_start, tile_end, attrs,
+                              dC_t, dD_t, dT_t, color_t, invd_t, t_t)
+        return d_attrs, None, None
+
+    composite.defvjp(composite_fwd, composite_bwd)
+    return composite
+
+
+def rasterize(proj: ProjectedGaussians, bg: jnp.ndarray,
+              width: int, height: int,
+              pair_capacity: int | None = None,
+              interpret: bool | None = None):
+    """Full Pallas path: bin → sort → gather → composite. Same contract as
+    ops/reference.rasterize_reference (render includes the background)."""
+    n = proj.mean2d.shape[0]
+    if pair_capacity is None:
+        pair_capacity = default_pair_capacity(n)
+    if interpret is None:
+        interpret = _interpret_default()
+    binned = binning.bin_gaussians(proj, width, height, pair_capacity)
+    attrs = binning.pack_attributes(proj)          # (NROW, N)
+    sorted_attrs = attrs[:, binned.gauss_ids]      # (NROW, P) — grad: scatter-add
+    # Mask padding pairs so junk never reaches the kernel or the VJP.
+    pair_valid = (jnp.arange(pair_capacity) < binned.num_pairs)[None, :]
+    sorted_attrs = jnp.where(pair_valid, sorted_attrs, 0.0)
+    p_pad = pair_capacity + CHUNK
+    sorted_attrs = jnp.pad(sorted_attrs,
+                           ((0, ROWS - NROW), (0, CHUNK)))
+
+    composite = _make_composite(width, height, p_pad, interpret)
+    color, invd, t_fin = composite(sorted_attrs, binned.tile_start,
+                                   binned.tile_end)
+    image = color + t_fin * bg[:, None, None]
+    return {
+        "render": image,
+        "invdepth": invd,
+        "final_T": t_fin[0],
+        "overflow": binned.overflow,
+    }
+
+
+def default_pair_capacity(n: int) -> int:
+    """Static pair-list capacity: ~8 tiles/Gaussian, power-of-two padded."""
+    return int(max(2 ** int(np.ceil(np.log2(max(n * 8, 4096)))), 4096))
