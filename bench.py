@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark: rasterizer fwd+bwd throughput per chip (BASELINE.json north
+star: rays/s fwd+bwd at 1M Gaussians).
+
+Renders a synthetic 1M-Gaussian scene at 1.6K-class resolution (1600×1066,
+the reference's input cap — `utils/camera_utils.py:46-57`) through the full
+differentiable path (projection → binning/sort → Pallas composite → loss →
+analytic backward to all parameters) and reports pixels(=rays)/s.
+
+`vs_baseline`: the reference publishes no machine-readable throughput
+(BASELINE.md); the denominator 30e6 rays/s is the estimated reference CUDA
+fwd+bwd throughput derived from upstream 3DGS training-time reports
+(~25 min / 30k iters at ~1.3 Mpix on a 24 GB RTX GPU).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+N_GAUSS = 1_000_000
+WIDTH, HEIGHT = 1600, 1066
+BASELINE_RAYS_PER_S = 30e6
+ITERS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from priordepth_gaussiansplatting_tpu.core import transforms
+    from priordepth_gaussiansplatting_tpu.ops import projection as proj_ops
+    from priordepth_gaussiansplatting_tpu.ops import rasterize_pallas as rp
+    from priordepth_gaussiansplatting_tpu.utils import testing as T
+
+    key = jax.random.PRNGKey(0)
+    cam = T.look_at_camera((0, 0, -2.5), width=WIDTH, height=HEIGHT)
+    params = T.random_gaussians(key, N_GAUSS, extent=1.0,
+                                scale_range=(0.002, 0.01))
+    target = jax.random.uniform(jax.random.PRNGKey(1), (3, HEIGHT, WIDTH))
+
+    def loss_fn(p):
+        cov3d = transforms.scaling_rotation_to_cov3d(p["scales"], p["quats"])
+        proj = proj_ops.project_gaussians(
+            p["means"], cov3d, p["opacities"], p["sh"], 3,
+            cam.world_view, cam.full_proj, cam.cam_center,
+            WIDTH, HEIGHT, cam.tan_fovx, cam.tan_fovy, antialiasing=True)
+        out = rp.rasterize(proj, jnp.zeros(3), WIDTH, HEIGHT)
+        return (jnp.mean((out["render"] - target) ** 2)
+                + 0.01 * jnp.mean(out["invdepth"]))
+
+    step = jax.jit(jax.grad(loss_fn))
+    g = step(params)  # compile
+    jax.block_until_ready(g)
+    t0 = time.time()
+    for _ in range(ITERS):
+        g = step(params)
+    jax.block_until_ready(g)
+    dt = (time.time() - t0) / ITERS
+    rays_per_s = WIDTH * HEIGHT / dt
+    print(json.dumps({
+        "metric": f"rays/s fwd+bwd, {N_GAUSS//1000}k gaussians "
+                  f"@{WIDTH}x{HEIGHT}, 1 chip",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -3,18 +3,30 @@ rasterizer's duplicated-key global radix sort (SURVEY.md §2.9.1).
 
 The CUDA pipeline builds (tileID | depth) 64-bit keys, one per
 (Gaussian, covered tile) pair, radix-sorts them globally and finds per-tile
-ranges. On TPU we express the same thing with static shapes:
+ranges. A naive XLA translation (repeat + per-pair gathers + 2-key sort) is
+gather-bound on TPU (arbitrary-index gathers of pair-sized arrays are the
+slowest op in the pipeline), so the design here avoids per-pair gathers
+entirely:
 
-  1. pair expansion with a fixed pair capacity P:
-     `jnp.repeat(arange(N), tiles_touched, total_repeat_length=P)` — pairs
-     beyond P are dropped (counted in `overflow`), padding pairs get an
-     invalid tile id that sorts to the end;
-  2. lexicographic `lax.sort` on (tile_id, depth) — XLA's TPU sort;
-  3. per-tile [start, end) ranges via vectorised `searchsorted`.
+  1. DEPTH-SORT the N Gaussians once (argsort over N, cheap). After this,
+     any stable tile-keyed ordering of pairs is automatically depth-ordered
+     within each tile — no depth key, no 2-key sort.
+  2. Pair expansion with a static capacity P, WITHOUT jnp.repeat or
+     pair-sized gathers: scatter each Gaussian's (start offset, id, packed
+     rect) to its segment-start position in the P-sized pair array, then
+     recover per-pair values with log-depth scans —
+       base_pos  = cummax(scatter(offsets))       → rank = pos − base_pos
+       gauss_id  = cummax(scatter(ids))           (ids ascend ⇒ cummax holds)
+       rect data = hold-last(scatter(pack))       (associative select scan)
+     All scans are O(P log P) VPU work; no random access.
+  3. ONE stable single-key sort by tile id (u32) with the pair's Gaussian id
+     as payload — XLA's TPU sort is fast; stability preserves depth order.
+  4. Per-tile [start, end) ranges via vectorised searchsorted.
 
-Everything is differentiable-free index plumbing; gradients flow through the
-subsequent attribute *gather* (whose VJP is the scatter-add back onto
-Gaussians).
+Pairs beyond capacity are dropped and counted in `overflow`; padding pairs
+get tile id = num_tiles and sort to the end. Everything is
+differentiable-free index plumbing; gradients flow through the subsequent
+attribute gather (VJP = scatter-add back onto Gaussians).
 """
 
 from __future__ import annotations
@@ -27,60 +39,97 @@ import jax.numpy as jnp
 
 from .projection import TILE, ProjectedGaussians, tile_rect
 
+# Rect packing: pack = tile_base * RECT_PACK + nx. Supports nx < 256 tiles
+# per row, i.e. image widths up to 256*16 = 4096 px.
+RECT_PACK = 256
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class TileBinning:
-    """Sorted (Gaussian, tile) pair lists + per-tile ranges."""
+    """Depth-sorted (Gaussian, tile) pair lists + per-tile ranges.
 
-    gauss_ids: jnp.ndarray   # (P,) int32 — Gaussian index per sorted pair
-    tile_ids: jnp.ndarray    # (P,) int32 — tile index per sorted pair
-    tile_start: jnp.ndarray  # (num_tiles,) int32
-    tile_end: jnp.ndarray    # (num_tiles,) int32
-    num_pairs: jnp.ndarray   # () int32 — valid pairs (≤ P)
-    overflow: jnp.ndarray    # () int32 — pairs dropped for capacity
+    `depth_order` is the N-permutation sorting Gaussians front-to-back;
+    `gauss_ids` are indices into that DEPTH-SORTED space (compose with
+    `depth_order` for original indices)."""
+
+    depth_order: jnp.ndarray  # (N,) int32
+    gauss_ids: jnp.ndarray    # (P,) int32 — depth-space Gaussian per pair
+    tile_ids: jnp.ndarray     # (P,) int32 — tile index per sorted pair
+    tile_start: jnp.ndarray   # (num_tiles,) int32
+    tile_end: jnp.ndarray     # (num_tiles,) int32
+    num_pairs: jnp.ndarray    # () int32 — valid pairs (≤ P)
+    overflow: jnp.ndarray     # () int32 — pairs dropped for capacity
+
+    def gauss_ids_original(self) -> jnp.ndarray:
+        """(P,) pair Gaussian ids in ORIGINAL (pre-depth-sort) indexing."""
+        return self.depth_order[self.gauss_ids]
 
 
 def grid_shape(width: int, height: int) -> tuple[int, int]:
     return (-(-width // TILE), -(-height // TILE))
 
 
+def _hold_last(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive 'last set value' scan; unset entries are -1."""
+    return jax.lax.associative_scan(
+        lambda a, b: jnp.where(b >= 0, b, a), x)
+
+
 @partial(jax.jit, static_argnames=("width", "height", "pair_capacity"))
 def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
                   pair_capacity: int) -> TileBinning:
     n = proj.mean2d.shape[0]
+    p = pair_capacity
     grid_x, grid_y = grid_shape(width, height)
     num_tiles = grid_x * grid_y
-    xmin, ymin, xmax, ymax = tile_rect(proj.mean2d, proj.radius, width, height)
+
+    # 1. depth order (culled Gaussians carry depth=inf → sort last).
+    order = jnp.argsort(proj.depth).astype(jnp.int32)
+    mean2d = proj.mean2d[order]
+    radius = proj.radius[order]
+
+    xmin, ymin, xmax, ymax = tile_rect(mean2d, radius, width, height)
     nx = (xmax - xmin).astype(jnp.int32)
-    ny = (ymax - ymin).astype(jnp.int32)
-    counts = nx * ny
+    counts = nx * (ymax - ymin).astype(jnp.int32)
     offsets = jnp.cumsum(counts) - counts  # exclusive
     total = jnp.sum(counts)
 
-    p = pair_capacity
-    gauss_ids = jnp.repeat(jnp.arange(n, dtype=jnp.int32), counts,
-                           total_repeat_length=p)
+    # 2. segment-start scatters (drop zero-count and over-capacity rows).
+    ids = jnp.arange(n, dtype=jnp.int32)
+    pos = jnp.where((counts > 0) & (offsets < p), offsets, p)
+    base = ymin * grid_x + xmin
+    pack = base * RECT_PACK + jnp.minimum(nx, RECT_PACK - 1)
+
+    seg_off = jnp.zeros((p,), jnp.int32).at[pos].set(offsets, mode="drop")
+    seg_gid = jnp.zeros((p,), jnp.int32).at[pos].set(ids, mode="drop")
+    seg_pack = jnp.full((p,), -1, jnp.int32).at[pos].set(pack, mode="drop")
+
+    base_pos = jax.lax.cummax(seg_off)
+    gid = jax.lax.cummax(seg_gid)
+    pack_pair = _hold_last(seg_pack)
+
     pair_pos = jnp.arange(p, dtype=jnp.int32)
-    rank = pair_pos - offsets[gauss_ids]
-    valid = (pair_pos < jnp.minimum(total, p)) & (rank >= 0) \
-        & (rank < counts[gauss_ids])
-    nxg = jnp.maximum(nx[gauss_ids], 1)
-    tx = xmin[gauss_ids] + rank % nxg
-    ty = ymin[gauss_ids] + rank // nxg
-    tile_ids = jnp.where(valid, ty * grid_x + tx, num_tiles)
+    rank = pair_pos - base_pos
+    rect_base = pack_pair // RECT_PACK
+    rect_nx = jnp.maximum(pack_pair % RECT_PACK, 1)
+    tile = rect_base + (rank // rect_nx) * grid_x + rank % rect_nx
+    valid = (pair_pos < jnp.minimum(total, p)) & (pack_pair >= 0)
+    tile_ids = jnp.where(valid, tile, num_tiles).astype(jnp.int32)
 
-    depth = jnp.where(valid, proj.depth[gauss_ids], jnp.inf)
-    tile_sorted, _, gauss_sorted = jax.lax.sort(
-        (tile_ids, depth, gauss_ids), dimension=0, is_stable=True, num_keys=2)
+    # 3. single stable tile-key sort (depth order preserved within tiles).
+    tile_sorted, gid_sorted = jax.lax.sort(
+        (tile_ids, gid), dimension=0, is_stable=True, num_keys=1)
 
+    # 4. per-tile ranges.
     tiles = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(tile_sorted, tiles, side="left"
-                                  ).astype(jnp.int32)
-    tile_end = jnp.searchsorted(tile_sorted, tiles, side="right"
-                                ).astype(jnp.int32)
+    tile_start = jnp.searchsorted(tile_sorted, tiles,
+                                  side="left").astype(jnp.int32)
+    tile_end = jnp.searchsorted(tile_sorted, tiles,
+                                side="right").astype(jnp.int32)
     return TileBinning(
-        gauss_ids=gauss_sorted,
+        depth_order=order,
+        gauss_ids=gid_sorted,
         tile_ids=tile_sorted,
         tile_start=tile_start,
         tile_end=tile_end,

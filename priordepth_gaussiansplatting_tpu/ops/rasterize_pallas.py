@@ -49,7 +49,7 @@ from .projection import TILE, ProjectedGaussians
 ALPHA_MAX = 0.99
 ALPHA_MIN = 1.0 / 255.0
 T_EPS = 1e-4
-CHUNK = 512          # pairs per DMA/compute chunk (multiple of 128)
+CHUNK = 256          # pairs per DMA/compute chunk (multiple of 128)
 PIX = TILE * TILE    # 256 pixels per tile
 NROW = binning.ATTR_ROWS
 ROWS = 16            # attrs rows padded to a sublane-tile multiple
@@ -59,24 +59,23 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _scan_lanes(x: jnp.ndarray, op, identity: float) -> jnp.ndarray:
-    """Inclusive scan along the lane axis (axis 1) via log-step roll-combine."""
-    k = x.shape[1]
-    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    shift = 1
-    while shift < k:
-        rolled = pltpu.roll(x, shift, axis=1)
-        x = op(x, jnp.where(idx >= shift, rolled, jnp.full_like(x, identity)))
-        shift *= 2
-    return x
+def _tri(k: int) -> jnp.ndarray:
+    """Upper-triangular ones (k, k): x @ _tri = inclusive cumsum along lanes.
 
-
-def _cumprod1(x):
-    return _scan_lanes(x, jax.lax.mul, 1.0)
+    Scans along the pair axis are expressed as one (PIX, K) x (K, K) MXU
+    matmul instead of a log-step VPU shuffle chain — the scan is the
+    dominant per-chunk VPU cost otherwise, and on the MXU it is ~free.
+    """
+    r = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    return (r <= c).astype(jnp.float32)
 
 
 def _cumsum1(x):
-    return _scan_lanes(x, jax.lax.add, 0.0)
+    """Inclusive cumsum along axis 1 via triangular MXU matmul."""
+    return jax.lax.dot_general(
+        x, _tri(x.shape[1]), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
 def _pixel_coords(t, grid_x):
@@ -147,8 +146,11 @@ def _fwd_kernel(start_ref, end_ref, attrs_hbm, color_ref, invd_ref, t_ref,
             a_eff, keep, _, _, _, _ = _chunk_alpha(chunk, px, py, astart,
                                                    start, end, i)
             one_m = 1.0 - a_eff
-            cp = _cumprod1(one_m)
-            incl = R * cp                        # (PIX, K)
+            # cumprod(one_m) = exp(cumsum(log one_m)); one_m >= 0.01 so the
+            # log is well-conditioned and the cumsum runs on the MXU.
+            log_om = jnp.log(one_m)
+            cls = _cumsum1(log_om)               # inclusive (PIX, K)
+            incl = R * jnp.exp(cls)
             live = incl >= T_EPS
             excl = incl / one_m
             w = jnp.where(live, a_eff * excl, 0.0)
@@ -159,10 +161,10 @@ def _fwd_kernel(start_ref, end_ref, attrs_hbm, color_ref, invd_ref, t_ref,
             D = D + jax.lax.dot_general(
                 w, chunk[binning.ATTR_ID:binning.ATTR_ID + 1, :], contract,
                 preferred_element_type=jnp.float32)   # (PIX, 1)
-            R = R * cp[:, -1:]
-            # reduce_prod is unsupported in Mosaic; use the last column of the
-            # live-masked cumulative product.
-            Tm = Tm * _cumprod1(jnp.where(live, one_m, 1.0))[:, -1:]
+            R = R * jnp.exp(cls[:, -1:])
+            # masked final transmittance: plain masked-log reduction.
+            Tm = Tm * jnp.exp(jnp.sum(jnp.where(live, log_om, 0.0),
+                                      axis=1, keepdims=True))
             return R, Tm, C, D
 
         return jax.lax.cond(jnp.any(R >= T_EPS), compute, lambda c: c,
@@ -210,8 +212,9 @@ def _bwd_kernel(start_ref, end_ref, attrs_hbm, dC_ref, dD_ref, dT_ref,
         a_eff, keep, g, raw, dx, dy = _chunk_alpha(chunk, px, py, astart,
                                                    start, end, i)
         one_m = 1.0 - a_eff
-        cp = _cumprod1(one_m)
-        incl = R * cp
+        log_om = jnp.log(one_m)
+        cls = _cumsum1(log_om)
+        incl = R * jnp.exp(cls)
         live = incl >= T_EPS
         excl = incl / one_m
         w = jnp.where(live, a_eff * excl, 0.0)  # (PIX, K)
@@ -264,7 +267,7 @@ def _bwd_kernel(start_ref, end_ref, attrs_hbm, dC_ref, dD_ref, dT_ref,
         wdma.start()
         wdma.wait()
 
-        R = R * cp[:, -1:]
+        R = R * jnp.exp(cls[:, -1:])
         r_pref = r_pref + cum_wrho[:, -1:]
         return R, r_pref
 
@@ -402,8 +405,12 @@ def rasterize(proj: ProjectedGaussians, bg: jnp.ndarray,
     if interpret is None:
         interpret = _interpret_default()
     binned = binning.bin_gaussians(proj, width, height, pair_capacity)
-    attrs = binning.pack_attributes(proj)          # (NROW, N)
-    sorted_attrs = attrs[:, binned.gauss_ids]      # (NROW, P) — grad: scatter-add
+    # Reorder Gaussians front-to-back (differentiable N-gather), then gather
+    # pair attributes in depth space (differentiable P-gather; its VJP is the
+    # pair->Gaussian scatter-add reduction).
+    proj_sorted = jax.tree.map(lambda x: x[binned.depth_order], proj)
+    attrs = binning.pack_attributes(proj_sorted)   # (NROW, N) depth-ordered
+    sorted_attrs = attrs[:, binned.gauss_ids]      # (NROW, P)
     # Mask padding pairs so junk never reaches the kernel or the VJP.
     pair_valid = (jnp.arange(pair_capacity) < binned.num_pairs)[None, :]
     sorted_attrs = jnp.where(pair_valid, sorted_attrs, 0.0)

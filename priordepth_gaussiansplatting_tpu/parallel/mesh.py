@@ -1,0 +1,67 @@
+"""Device mesh + sharding rules for multi-chip training.
+
+The reference has NO distributed 3DGS path (hard-pinned cuda:0,
+SURVEY.md §2.11); this is the TPU-native scaling design:
+
+  mesh axes:
+    data  — camera batch data-parallel: each data rank renders its own
+            camera(s); parameter gradients are psum'd over ICI.
+    gauss — Gaussian-primitive sharding (the TP analog): the fixed-capacity
+            parameter store's leading axis is sharded; projection, Adam,
+            densification bookkeeping and clone/split/prune all run on the
+            local shard; the projected screen-space attributes are
+            all-gathered for rasterization (gather VJP = reduce-to-shard).
+
+Multi-host: `jax.distributed.initialize()` before building the mesh; the
+mesh spans all devices, `data` laid out over DCN-adjacent axes and `gauss`
+within a slice so the per-step all-gather rides ICI.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models.gaussians import GaussianParams, GaussianState
+from ..train.optim import AdamState
+
+DATA_AXIS = "data"
+GAUSS_AXIS = "gauss"
+
+# Per-Gaussian leaves (leading axis = capacity) are sharded over GAUSS_AXIS.
+_PER_GAUSSIAN = ("xyz", "features_dc", "features_rest", "scaling",
+                 "rotation", "opacity")
+
+
+def make_mesh(n_data: int, n_gauss: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = n_data * n_gauss
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(n_data, n_gauss)
+    return Mesh(arr, (DATA_AXIS, GAUSS_AXIS))
+
+
+def params_spec() -> GaussianParams:
+    return GaussianParams(
+        **{k: (P(GAUSS_AXIS) if k in _PER_GAUSSIAN else P())
+           for k in GaussianParams.__dataclass_fields__})
+
+
+def state_spec() -> GaussianState:
+    import dataclasses
+    return GaussianState(
+        params=params_spec(),
+        active=P(GAUSS_AXIS), max_radii2d=P(GAUSS_AXIS),
+        xyz_gradient_accum=P(GAUSS_AXIS), denom=P(GAUSS_AXIS),
+        active_sh_degree=P())
+
+
+def adam_spec() -> AdamState:
+    return AdamState(mu=params_spec(), nu=params_spec(), count=P())
+
+
+def camera_batch_spec(camera_template):
+    """Cameras stacked on a leading batch axis, sharded over DATA_AXIS."""
+    return jax.tree.map(lambda _: P(DATA_AXIS), camera_template)

@@ -1,0 +1,158 @@
+"""shard_map'd multi-chip training step: camera-DP × Gaussian sharding.
+
+Dataflow per step (see parallel/mesh.py for the axes):
+  1. every (data, gauss) rank projects ITS Gaussian shard for ITS camera(s)
+     (embarrassingly parallel preprocess, local radii/visibility);
+  2. `all_gather` of the projected screen-space attributes over `gauss`
+     (the only per-step collective on the forward path — rides ICI);
+  3. each data rank rasterizes its camera(s) with the full projected set and
+     computes the loss; backward through the gather reduces per-pair
+     gradients back to the local Gaussian shard automatically;
+  4. gradients are `psum`'d over `data`; Adam updates the local shard;
+     densification stats accumulate shard-locally (also psum'd over `data`).
+
+Densify/prune (models/densify.py) runs shard-locally outside this step —
+each shard manages its own free slots, the sharded analog of the reference's
+global reallocation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..core.cameras import Camera
+from ..models import densify as densify_ops
+from ..models.gaussians import GaussianState
+from ..ops import losses
+from ..ops import projection as proj_ops
+from ..ops import reference as ref_ops
+from ..train import optim
+from ..train.step import learning_rates
+from ..utils.config import OptimizationConfig, PipelineConfig
+from . import mesh as mesh_lib
+
+
+def _render_gathered(camera: Camera, state: GaussianState, bg, screen_offset,
+                     pipe_cfg: PipelineConfig, axis_name: str):
+    """Project the local shard, all-gather screen-space attrs, rasterize."""
+    cov3d = state.get_covariance()
+    proj = proj_ops.project_gaussians(
+        state.params.xyz, cov3d, state.get_opacity(), state.get_features(),
+        state.max_sh_degree, camera.world_view, camera.full_proj,
+        camera.cam_center, camera.width, camera.height,
+        camera.tan_fovx, camera.tan_fovy,
+        antialiasing=pipe_cfg.antialiasing, valid_mask=state.active)
+    local_radii = proj.radius
+    proj = dataclasses.replace(proj, mean2d=proj.mean2d + screen_offset)
+    proj_full = jax.tree.map(
+        lambda x: jax.lax.all_gather(x, axis_name, axis=0, tiled=True), proj)
+    if pipe_cfg.backend in ("pallas", "auto"):
+        try:
+            from ..ops import rasterize_pallas as rp  # noqa: PLC0415
+            out = rp.rasterize(proj_full, bg, camera.width, camera.height)
+        except Exception:
+            out = ref_ops.rasterize_reference(proj_full, bg, camera.width,
+                                              camera.height)
+    else:
+        out = ref_ops.rasterize_reference(proj_full, bg, camera.width,
+                                          camera.height)
+    return out, local_radii
+
+
+def make_sharded_train_step(opt_cfg: OptimizationConfig,
+                            pipe_cfg: PipelineConfig, mesh,
+                            use_trained_exp: bool = False):
+    """Returns a jitted step(state, opt_state, cam_batch, step, key, bg).
+
+    `cam_batch` is a Camera pytree with a leading batch axis equal to the
+    `data` axis size; state/opt are sharded per mesh.state_spec().
+    """
+    sparse = opt_cfg.optimizer_type == "sparse_adam"
+
+    def local_step(state, opt_state, cam_batch, step_i, key, bg):
+        # One camera per data rank (leading axis sliced to 1 by shard_map).
+        camera = jax.tree.map(lambda x: x[0], cam_batch)
+        n_local = state.capacity  # local shard capacity
+        screen_offset = jnp.zeros((n_local, 2), jnp.float32)
+
+        def loss_fn(params, screen_offset):
+            st = dataclasses.replace(state, params=params)
+            out, local_radii = _render_gathered(
+                camera, st, bg, screen_offset, pipe_cfg,
+                mesh_lib.GAUSS_AXIS)
+            image = out["render"]
+            if use_trained_exp and camera.exposure_id >= 0:
+                exposure = st.get_exposure(camera.exposure_id)
+                image = jnp.einsum("ij,jhw->ihw", exposure[:3, :3], image) \
+                    + exposure[:3, 3][:, None, None]
+            image = jnp.clip(image, 0.0, 1.0)
+            gt = camera.image
+            if camera.alpha_mask is not None:
+                image = image * camera.alpha_mask[None]
+            ll1 = losses.l1_loss(image, gt)
+            ssim_v = losses.ssim(image, gt)
+            loss = ((1.0 - opt_cfg.lambda_dssim) * ll1
+                    + opt_cfg.lambda_dssim * (1.0 - ssim_v))
+            if opt_cfg.depth_feedback and camera.invdepth is not None:
+                from ..train.step import depth_l1_weight  # noqa: PLC0415
+                w = depth_l1_weight(step_i, opt_cfg)
+                mask = (camera.depth_mask if camera.depth_mask is not None
+                        else jnp.ones_like(camera.invdepth))
+                loss = loss + w * losses.depth_l1_loss(
+                    out["invdepth"][0], camera.invdepth, mask)
+            return loss, (local_radii, ll1)
+
+        (loss, (radii, ll1)), (pgrads, sgrads) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(
+                state.params, screen_offset)
+
+        # Gradient all-reduce over the camera-DP axis (mean).
+        nd = jax.lax.psum(1, mesh_lib.DATA_AXIS)
+        pgrads = jax.tree.map(
+            lambda g: jax.lax.psum(g, mesh_lib.DATA_AXIS) / nd, pgrads)
+        sgrads = jax.lax.psum(sgrads, mesh_lib.DATA_AXIS) / nd
+
+        visibility = jax.lax.pmax(
+            (radii > 0).astype(jnp.int32), mesh_lib.DATA_AXIS) > 0
+        lrs = learning_rates(step_i, opt_cfg, state.spatial_lr_scale)
+        new_params, opt_state = optim.adam_update(
+            state.params, pgrads, opt_state, lrs,
+            visibility=visibility, sparse=sparse)
+        state = dataclasses.replace(state, params=new_params)
+        max_radii = jax.lax.pmax(radii, mesh_lib.DATA_AXIS)
+        state = densify_ops.add_densification_stats(
+            state, sgrads, max_radii, camera.width, camera.height)
+        metrics = {
+            "loss": jax.lax.pmean(loss, mesh_lib.DATA_AXIS),
+            "l1": jax.lax.pmean(ll1, mesh_lib.DATA_AXIS),
+            "n_active": jax.lax.psum(state.num_active, mesh_lib.GAUSS_AXIS),
+        }
+        return state, opt_state, metrics
+
+    st_spec = mesh_lib.state_spec()
+    ad_spec = mesh_lib.adam_spec()
+    cam_spec_fn = lambda cam_batch: jax.tree.map(
+        lambda _: P(mesh_lib.DATA_AXIS), cam_batch)
+
+    def step(state, opt_state, cam_batch, step_i, key, bg):
+        sharded = shard_map(
+            local_step, mesh=mesh,
+            in_specs=(st_spec, ad_spec, cam_spec_fn(cam_batch), P(), P(),
+                      P()),
+            out_specs=(st_spec, ad_spec,
+                       {"loss": P(), "l1": P(), "n_active": P()}),
+            check_rep=False)
+        return sharded(state, opt_state, cam_batch, step_i, key, bg)
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def stack_cameras(cameras) -> Camera:
+    """Stack a list of same-resolution Cameras into a leading batch axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *cameras)

@@ -1,0 +1,169 @@
+"""Persistence: training checkpoints, model snapshots, exposure.json.
+
+Three formats, mirroring the reference (SURVEY.md §5.4):
+  1. training checkpoint  — full (GaussianState, AdamState, iteration) pytree
+     (reference `torch.save((capture(), iter))`, `train.py:340-342`); here a
+     pickled dict of numpy arrays, `chkpnt<iter>.pkl`.
+  2. model snapshot       — `point_cloud/iteration_<it>/point_cloud.ply`
+     (byte-compatible with SIBR viewers) + `exposure.json`
+     (`scene/__init__.py:85-94`). Only ACTIVE rows are exported.
+  3. run config           — `cfg_args` (utils/config.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.gaussians import GaussianParams, GaussianState
+from ..models import gaussians as gm
+from . import optim
+from ..data import ply as ply_io
+
+
+def save_checkpoint(path: str, state: GaussianState, opt_state: optim.AdamState,
+                    iteration: int) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "iteration": iteration,
+        "spatial_lr_scale": state.spatial_lr_scale,
+        "max_sh_degree": state.max_sh_degree,
+        "state": jax.tree.map(np.asarray, {
+            "params": dataclass_to_dict(state.params),
+            "active": state.active,
+            "max_radii2d": state.max_radii2d,
+            "xyz_gradient_accum": state.xyz_gradient_accum,
+            "denom": state.denom,
+            "active_sh_degree": state.active_sh_degree,
+        }),
+        "opt": jax.tree.map(np.asarray, {
+            "mu": dataclass_to_dict(opt_state.mu),
+            "nu": dataclass_to_dict(opt_state.nu),
+            "count": opt_state.count,
+        }),
+    }
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+
+
+def load_checkpoint(path: str):
+    with open(path, "rb") as f:
+        p = pickle.load(f)
+    s = p["state"]
+    state = GaussianState(
+        params=GaussianParams(**{k: jnp.asarray(v)
+                                 for k, v in s["params"].items()}),
+        active=jnp.asarray(s["active"]),
+        max_radii2d=jnp.asarray(s["max_radii2d"]),
+        xyz_gradient_accum=jnp.asarray(s["xyz_gradient_accum"]),
+        denom=jnp.asarray(s["denom"]),
+        active_sh_degree=jnp.asarray(s["active_sh_degree"]),
+        spatial_lr_scale=p["spatial_lr_scale"],
+        max_sh_degree=p["max_sh_degree"])
+    o = p["opt"]
+    opt_state = optim.AdamState(
+        mu=GaussianParams(**{k: jnp.asarray(v) for k, v in o["mu"].items()}),
+        nu=GaussianParams(**{k: jnp.asarray(v) for k, v in o["nu"].items()}),
+        count=jnp.asarray(o["count"]))
+    return state, opt_state, p["iteration"]
+
+
+def dataclass_to_dict(params: GaussianParams) -> dict:
+    return {k: getattr(params, k) for k in GaussianParams.__dataclass_fields__}
+
+
+def save_model_snapshot(model_path: str, iteration: int, state: GaussianState,
+                        image_names=None) -> None:
+    """PLY + exposure.json, active rows only (reference `scene.save`)."""
+    out_dir = os.path.join(model_path, "point_cloud",
+                           f"iteration_{iteration}")
+    os.makedirs(out_dir, exist_ok=True)
+    active = np.asarray(state.active)
+    p = state.params
+    ply_io.save_gaussian_ply(
+        os.path.join(out_dir, "point_cloud.ply"),
+        np.asarray(p.xyz)[active], np.asarray(p.features_dc)[active],
+        np.asarray(p.features_rest)[active], np.asarray(p.opacity)[active],
+        np.asarray(p.scaling)[active], np.asarray(p.rotation)[active])
+    if image_names:
+        exposures = {name: np.asarray(p.exposure[i]).tolist()
+                     for name, i in image_names.items()
+                     if i < p.exposure.shape[0]}
+        with open(os.path.join(model_path, "exposure.json"), "w") as f:
+            json.dump(exposures, f, indent=2)
+
+
+def load_model_snapshot(model_path: str, iteration: int = -1,
+                        max_sh_degree: int = 3,
+                        capacity: int | None = None) -> GaussianState:
+    """Load a saved PLY snapshot into a GaussianState (reference `load_ply`
+    + `searchForMaxIteration`, `utils/system_utils.py:26-28`)."""
+    pc_dir = os.path.join(model_path, "point_cloud")
+    if iteration == -1:
+        iters = [int(m.group(1)) for d in os.listdir(pc_dir)
+                 if (m := re.match(r"iteration_(\d+)$", d))]
+        iteration = max(iters)
+    ply_path = os.path.join(pc_dir, f"iteration_{iteration}",
+                            "point_cloud.ply")
+    d = ply_io.load_gaussian_ply(ply_path)
+    n = d["xyz"].shape[0]
+    if capacity is None:
+        capacity = int(2 ** np.ceil(np.log2(max(n, 1024))))
+    if capacity < n:
+        capacity = n
+
+    def pad(x, fill=0.0):
+        widths = [(0, capacity - n)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.asarray(np.pad(x, widths, constant_values=fill))
+
+    params = GaussianParams(
+        xyz=pad(d["xyz"]),
+        features_dc=pad(d["features_dc"]),
+        features_rest=pad(d["features_rest"]),
+        scaling=pad(d["scaling"], np.log(1e-6)),
+        rotation=jnp.asarray(np.concatenate(
+            [d["rotation"],
+             np.tile(np.array([[1, 0, 0, 0]], np.float32),
+                     (capacity - n, 1))])),
+        opacity=pad(d["opacity"], -6.0),
+        exposure=jnp.tile(jnp.eye(3, 4)[None], (1, 1, 1)),
+    )
+    zeros = lambda: jnp.zeros((capacity,), jnp.float32)
+    return GaussianState(
+        params=params, active=jnp.arange(capacity) < n,
+        max_radii2d=zeros(), xyz_gradient_accum=zeros(), denom=zeros(),
+        active_sh_degree=jnp.asarray(max_sh_degree, jnp.int32),
+        spatial_lr_scale=1.0, max_sh_degree=max_sh_degree)
+
+
+def maybe_grow(state: GaussianState, opt_state: optim.AdamState,
+               occupancy_threshold: float = 0.85, factor: int = 2):
+    """Host-side capacity regrow when the store is nearly full."""
+    n_active = int(state.num_active)
+    if n_active <= occupancy_threshold * state.capacity:
+        return state, opt_state, False
+    new_cap = state.capacity * factor
+    state = gm.grow_capacity(state, new_cap)
+
+    def grow_params(p: GaussianParams) -> GaussianParams:
+        extra = new_cap - p.xyz.shape[0]
+
+        def padp(x):
+            widths = [(0, extra)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths)
+
+        return GaussianParams(
+            **{k: (padp(getattr(p, k)) if k != "exposure"
+                   else getattr(p, k))
+               for k in GaussianParams.__dataclass_fields__})
+
+    opt_state = optim.AdamState(mu=grow_params(opt_state.mu),
+                                nu=grow_params(opt_state.nu),
+                                count=opt_state.count)
+    return state, opt_state, True

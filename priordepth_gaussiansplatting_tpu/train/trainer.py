@@ -1,0 +1,168 @@
+"""Training orchestration — the reference `train.py:64-342` loop, TPU-native.
+
+Per-iteration work (render → loss → backward → Adam → densify stats) is one
+jitted XLA program (train/step.py). This host loop handles what must stay on
+the host: camera sampling, the densify/opacity-reset/SH-degree schedule,
+capacity regrow + re-jit, eval/save/checkpoint, logging, and the optional
+network-GUI poll.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.cameras import Camera
+from ..models import gaussians as gm
+from ..utils.config import (ModelConfig, OptimizationConfig, PipelineConfig,
+                            save_cfg_args)
+from . import checkpoint as ckpt
+from . import optim
+from . import step as step_lib
+
+
+class Trainer:
+    def __init__(self, model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
+                 pipe_cfg: PipelineConfig, scene, seed: int = 0,
+                 quiet: bool = False):
+        self.model_cfg = model_cfg
+        self.opt_cfg = opt_cfg
+        self.pipe_cfg = pipe_cfg
+        self.scene = scene
+        self.quiet = quiet
+        self.rng = random.Random(seed)
+        self.key = jax.random.PRNGKey(seed)
+
+        xyz, colors, _ = scene.point_cloud()
+        self.state = gm.create_from_points(
+            np.asarray(xyz), np.asarray(colors),
+            num_images=len(scene.train_cameras),
+            max_sh_degree=model_cfg.sh_degree,
+            spatial_lr_scale=scene.cameras_extent)
+        self.opt_state = optim.init_adam(self.state.params)
+        self.fns = step_lib.make_train_step(
+            opt_cfg, pipe_cfg, use_trained_exp=model_cfg.train_test_exp)
+        self.bg = jnp.asarray(
+            [1.0, 1.0, 1.0] if model_cfg.white_background else [0.0, 0.0, 0.0])
+        self.iteration = 0
+        self._camera_stack: List[Camera] = []
+        self.ema_loss = 0.0
+        self.history: List[dict] = []
+
+        if model_cfg.model_path:
+            save_cfg_args(model_cfg.model_path, model_cfg)
+
+    # ------------------------------------------------------------- loop
+    def pick_camera(self) -> Camera:
+        """Random pop from a reshuffled stack (`train.py:129-135`)."""
+        if not self._camera_stack:
+            self._camera_stack = list(self.scene.train_cameras)
+            self.rng.shuffle(self._camera_stack)
+        return self._camera_stack.pop()
+
+    def restore(self, path: str) -> None:
+        self.state, self.opt_state, self.iteration = ckpt.load_checkpoint(path)
+        print(f"Restored checkpoint at iteration {self.iteration}")
+
+    def train(self, iterations: Optional[int] = None,
+              test_iterations=(7000, 30000), save_iterations=(7000, 30000),
+              checkpoint_iterations=(), on_iteration=None) -> dict:
+        opt = self.opt_cfg
+        total = iterations if iterations is not None else opt.iterations
+        t_start = time.time()
+        first = self.iteration + 1
+        for it in range(first, total + 1):
+            self.iteration = it
+            # SH degree bump every 1000 iters (`train.py:126-127`).
+            if it % 1000 == 0:
+                self.state = self.state.oneup_sh_degree()
+
+            cam = self.pick_camera()
+            self.key, k = jax.random.split(self.key)
+            self.state, self.opt_state, metrics = self.fns.step(
+                self.state, self.opt_state, cam, jnp.asarray(it), k, self.bg)
+
+            # Densification schedule (`train.py:311-326`).
+            if it < opt.densify_until_iter:
+                if (it > opt.densify_from_iter
+                        and it % opt.densification_interval == 0):
+                    self.key, k = jax.random.split(self.key)
+                    use_size = it > opt.opacity_reset_interval
+                    self.state, self.opt_state, info = self.fns.densify(
+                        self.state, self.opt_state, k,
+                        use_size_threshold=use_size)
+                    self.state, self.opt_state, grew = ckpt.maybe_grow(
+                        self.state, self.opt_state)
+                    if grew and not self.quiet:
+                        print(f"[it {it}] capacity grown to "
+                              f"{self.state.capacity}")
+                if (it % opt.opacity_reset_interval == 0
+                        or (self.model_cfg.white_background
+                            and it == opt.densify_from_iter)):
+                    self.state, self.opt_state = self.fns.reset_opacity(
+                        self.state, self.opt_state)
+
+            loss = float(metrics["loss"])
+            self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
+            if not self.quiet and it % 100 == 0:
+                n_act = int(metrics["n_active"])
+                print(f"[it {it}/{total}] loss {self.ema_loss:.5f} "
+                      f"gaussians {n_act} "
+                      f"({(time.time() - t_start):.1f}s)", flush=True)
+
+            if it in test_iterations:
+                self.report(it)
+            if it in save_iterations and self.model_cfg.model_path:
+                self.save_snapshot(it)
+            if it in checkpoint_iterations and self.model_cfg.model_path:
+                ckpt.save_checkpoint(
+                    os.path.join(self.model_cfg.model_path,
+                                 f"chkpnt{it}.pkl"),
+                    self.state, self.opt_state, it)
+            if on_iteration is not None:
+                on_iteration(self, it, metrics)
+        wall = time.time() - t_start
+        return {"iterations": total, "wall_s": wall,
+                "final_loss": self.ema_loss,
+                "n_active": int(self.state.num_active)}
+
+    # ------------------------------------------------------------- eval
+    def report(self, it: int) -> dict:
+        """Validation PSNR on held-out (or train-subset) views
+        (`train.py:402-445`)."""
+        out = {}
+        for split, cams in (("test", self.scene.test_cameras),
+                            ("train", self.scene.train_cameras[:5])):
+            if not cams:
+                continue
+            psnrs, l1s = [], []
+            for cam in cams:
+                r = step_lib.eval_image(
+                    cam, self.state, self.bg,
+                    antialiasing=self.pipe_cfg.antialiasing,
+                    use_trained_exp=self.model_cfg.train_test_exp,
+                    backend=self.pipe_cfg.backend)
+                if "psnr" in r:
+                    psnrs.append(float(r["psnr"]))
+                    l1s.append(float(r["l1"]))
+            if psnrs:
+                out[split] = {"psnr": float(np.mean(psnrs)),
+                              "l1": float(np.mean(l1s))}
+                if not self.quiet:
+                    print(f"[it {it}] eval {split}: "
+                          f"psnr {out[split]['psnr']:.2f} "
+                          f"l1 {out[split]['l1']:.4f}", flush=True)
+        self.history.append({"iteration": it, **out})
+        return out
+
+    def save_snapshot(self, it: int) -> None:
+        print(f"[it {it}] saving snapshot", flush=True)
+        ckpt.save_model_snapshot(self.model_cfg.model_path, it, self.state,
+                                 image_names=self.scene.exposure_ids)

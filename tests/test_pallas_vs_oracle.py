@@ -42,7 +42,8 @@ def test_binning_covers_each_pair_once():
     # Pairs sorted by tile then depth.
     tids = np.asarray(b.tile_ids)[:npairs]
     assert (np.diff(tids) >= 0).all()
-    depth = np.asarray(proj.depth)[np.asarray(b.gauss_ids)[:npairs]]
+    depth = np.asarray(proj.depth)[
+        np.asarray(b.gauss_ids_original())[:npairs]]
     for t in range(gx * gy):
         s, e = starts[t], ends[t]
         if e - s > 1:

@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Train a 3D Gaussian Splatting model on TPU.
+
+CLI-compatible with the reference `train.py` (same flag names: -s, -m, -r,
+-d, --eval, --iterations, --test_iterations, --save_iterations,
+--checkpoint_iterations, --start_checkpoint, --quiet, ...).
+"""
+
+from __future__ import annotations
+
+import sys
+from argparse import ArgumentParser
+
+import numpy as np
+
+from priordepth_gaussiansplatting_tpu.data.dataset import Scene
+from priordepth_gaussiansplatting_tpu.train.trainer import Trainer
+from priordepth_gaussiansplatting_tpu.utils.config import (
+    ModelConfig, OptimizationConfig, PipelineConfig, add_dataclass_args,
+    extract_dataclass)
+from priordepth_gaussiansplatting_tpu.viewer import network_gui
+
+
+def main(argv=None):
+    parser = ArgumentParser(description="TPU 3DGS training")
+    add_dataclass_args(parser, ModelConfig())
+    add_dataclass_args(parser, OptimizationConfig())
+    add_dataclass_args(parser, PipelineConfig())
+    parser.add_argument("--ip", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=6009)
+    parser.add_argument("--test_iterations", nargs="+", type=int,
+                        default=[7000, 30000])
+    parser.add_argument("--save_iterations", nargs="+", type=int,
+                        default=[7000, 30000])
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
+                        default=[])
+    parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--disable_viewer", action="store_true")
+    args = parser.parse_args(argv)
+
+    model_cfg = extract_dataclass(ModelConfig, args)
+    opt_cfg = extract_dataclass(OptimizationConfig, args)
+    pipe_cfg = extract_dataclass(PipelineConfig, args)
+    if not model_cfg.model_path:
+        import uuid
+        model_cfg.model_path = f"./output/{str(uuid.uuid4())[:10]}"
+    print(f"Output folder: {model_cfg.model_path}")
+
+    np.random.seed(args.seed)
+    scene = Scene(model_cfg.source_path, model_cfg.model_path,
+                  images=model_cfg.images, depths=model_cfg.depths,
+                  eval_split=model_cfg.eval, resolution=model_cfg.resolution,
+                  white_background=model_cfg.white_background,
+                  train_test_exp=model_cfg.train_test_exp, seed=args.seed)
+    trainer = Trainer(model_cfg, opt_cfg, pipe_cfg, scene, seed=args.seed,
+                      quiet=args.quiet)
+    if args.start_checkpoint:
+        trainer.restore(args.start_checkpoint)
+
+    gui = None
+    if not args.disable_viewer:
+        try:
+            gui = network_gui.NetworkGUI(args.ip, args.port)
+        except OSError as e:
+            print(f"network GUI disabled: {e}")
+
+    def poll_gui(tr, it, metrics):
+        if gui is not None:
+            gui.poll(tr.state, tr.bg,
+                     training_done=it >= opt_cfg.iterations,
+                     source_path=model_cfg.source_path)
+
+    result = trainer.train(
+        iterations=opt_cfg.iterations,
+        test_iterations=set(args.test_iterations),
+        save_iterations=set(args.save_iterations),
+        checkpoint_iterations=set(args.checkpoint_iterations),
+        on_iteration=poll_gui if gui is not None else None)
+    print(f"\nTraining complete: {result}")
+    return result
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
