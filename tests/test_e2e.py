@@ -1,0 +1,154 @@
+"""End-to-end: synthetic Blender scene → Trainer → snapshot → reload →
+render; checkpoint save/restore round-trip; network-GUI protocol loopback."""
+
+import json
+import os
+import socket
+import struct
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from priordepth_gaussiansplatting_tpu.data.dataset import Scene
+from priordepth_gaussiansplatting_tpu.ops.render import render
+from priordepth_gaussiansplatting_tpu.train import checkpoint as ckpt
+from priordepth_gaussiansplatting_tpu.train.trainer import Trainer
+from priordepth_gaussiansplatting_tpu.utils.config import (ModelConfig,
+                                                           OptimizationConfig,
+                                                           PipelineConfig)
+from tests.test_data import _make_blender_scene
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("scene") / "lego")
+    out = str(tmp_path_factory.mktemp("out"))
+    _make_blender_scene(root, n_frames=4, size=32)
+    model_cfg = ModelConfig(source_path=root, model_path=out,
+                            white_background=True)
+    opt_cfg = OptimizationConfig(iterations=60, position_lr_max_steps=60,
+                                 densify_from_iter=10, densify_until_iter=50,
+                                 densification_interval=20,
+                                 opacity_reset_interval=1000)
+    pipe_cfg = PipelineConfig(backend="oracle")
+    scene = Scene(root, out, white_background=True, shuffle=True)
+    # shrink: the blender random init is 100k points — subsample for speed
+    xyz, cols, nrm = scene.info.point_cloud
+    scene.info = scene.info.__class__(
+        point_cloud=(xyz[:256], cols[:256], nrm[:256]),
+        train_cameras=scene.info.train_cameras,
+        test_cameras=scene.info.test_cameras,
+        nerf_normalization=scene.info.nerf_normalization,
+        ply_path=scene.info.ply_path,
+        is_nerf_synthetic=True)
+    trainer = Trainer(model_cfg, opt_cfg, pipe_cfg, scene, quiet=True)
+    result = trainer.train(test_iterations={60}, save_iterations={60},
+                           checkpoint_iterations={60})
+    return trainer, result, out
+
+
+def test_training_ran_and_loss_finite(trained):
+    trainer, result, out = trained
+    assert result["iterations"] == 60
+    assert np.isfinite(result["final_loss"])
+    assert result["n_active"] > 0
+
+
+def test_snapshot_artifacts_written(trained):
+    _, _, out = trained
+    assert os.path.exists(
+        os.path.join(out, "point_cloud", "iteration_60", "point_cloud.ply"))
+    assert os.path.exists(os.path.join(out, "exposure.json"))
+    assert os.path.exists(os.path.join(out, "cfg_args"))
+    assert os.path.exists(os.path.join(out, "input.ply"))
+    assert os.path.exists(os.path.join(out, "cameras.json"))
+    with open(os.path.join(out, "cameras.json")) as f:
+        cams = json.load(f)
+    assert len(cams) == 4
+    assert {"id", "img_name", "position", "rotation", "fx", "fy"} \
+        <= set(cams[0])
+
+
+def test_snapshot_reload_renders_identically(trained):
+    trainer, _, out = trained
+    state2 = ckpt.load_model_snapshot(out, iteration=-1)
+    cam = trainer.scene.train_cameras[0]
+    bg = trainer.bg
+    img1 = render(cam, trainer.state, bg, backend="oracle")["render"]
+    img2 = render(cam, state2, bg, backend="oracle")["render"]
+    np.testing.assert_allclose(np.asarray(img2), np.asarray(img1), atol=1e-5)
+
+
+def test_checkpoint_roundtrip(trained):
+    trainer, _, out = trained
+    path = os.path.join(out, "chkpnt60.pkl")
+    assert os.path.exists(path)
+    state, opt_state, it = ckpt.load_checkpoint(path)
+    assert it == 60
+    np.testing.assert_allclose(np.asarray(state.params.xyz),
+                               np.asarray(trainer.state.params.xyz))
+    np.testing.assert_allclose(np.asarray(opt_state.mu.xyz),
+                               np.asarray(trainer.opt_state.mu.xyz))
+    assert int(opt_state.count) == int(trainer.opt_state.count)
+
+
+def test_eval_history_recorded(trained):
+    trainer, _, _ = trained
+    assert trainer.history
+    assert "train" in trainer.history[-1]
+    assert np.isfinite(trainer.history[-1]["train"]["psnr"])
+
+
+def test_network_gui_roundtrip(trained):
+    """Drive the byte protocol end to end against a live listener."""
+    from priordepth_gaussiansplatting_tpu.viewer.network_gui import NetworkGUI
+    trainer, _, _ = trained
+    gui = NetworkGUI("127.0.0.1", 0)
+    port = gui.listener.getsockname()[1]
+
+    cam = trainer.scene.train_cameras[0]
+    w2c = np.asarray(cam.world_view)
+    # Encode in the wire convention (torch row-vector + column sign flips).
+    view = w2c.T.copy()
+    view[:, 1] *= -1
+    view[:, 2] *= -1
+    proj = np.asarray(cam.full_proj).T.copy()
+    proj[:, 1] *= -1
+    msg = {
+        "resolution_x": cam.width, "resolution_y": cam.height,
+        "train": True, "fov_y": cam.fovy, "fov_x": cam.fovx,
+        "z_near": 0.01, "z_far": 100.0, "shs_python": False,
+        "rot_scale_python": False, "keep_alive": False,
+        "scaling_modifier": 1.0,
+        "view_matrix": view.flatten().tolist(),
+        "view_projection_matrix": proj.flatten().tolist(),
+    }
+    client = socket.create_connection(("127.0.0.1", port))
+    payload = json.dumps(msg).encode()
+    client.sendall(struct.pack("<I", len(payload)) + payload)
+
+    gui.poll(trainer.state, trainer.bg, source_path="/src/path")
+
+    n_img = cam.width * cam.height * 3
+    buf = b""
+    while len(buf) < n_img + 4:
+        chunk = client.recv(65536)
+        if not chunk:
+            break
+        buf += chunk
+    img = np.frombuffer(buf[:n_img], np.uint8).reshape(cam.height,
+                                                       cam.width, 3)
+    (verify_len,) = struct.unpack("<I", buf[n_img:n_img + 4])
+    verify = client.recv(verify_len).decode() if len(buf) == n_img + 4 \
+        else buf[n_img + 4:n_img + 4 + verify_len].decode()
+    assert verify == "/src/path"
+    # The GUI image matches a direct render.
+    want = np.asarray(
+        jnp.clip(render(cam, trainer.state, trainer.bg)["render"], 0, 1)
+        * 255).astype(np.uint8).transpose(1, 2, 0)
+    np.testing.assert_array_equal(img, want)
+    client.close()
+    gui.close()
