@@ -1,0 +1,192 @@
+"""Metric monodepth models: ViT encoder + DPT-style decoder + metric-bins
+head, with a two-expert router variant.
+
+TPU-native counterpart of the reference model zoo
+(`zoedepth/models/{base_models/midas.py, zoedepth/zoedepth_v1.py,
+zoedepth_nk/zoedepth_nk_v1.py}`): the frozen torch-hub MiDaS BEiT backbone
+becomes a flax ViT trained/loaded natively; the relative-depth core exposes
+multi-scale feature taps exactly like MidasCore's forward hooks
+(out_conv, l4_rn, r4, r3, r2, r1), which feed the metric-bins head
+(seed bins → projector+attractor refinement per level → conditional
+log-binomial → depth = Σ p·c). `DepthModelNK` adds the patch-transformer
+router with two (nyu/kitti-style) bin configurations
+(`zoedepth_nk_v1.py:100-112`).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .layers import (AttractorLayer, ConditionalLogBinomial,
+                     PatchTransformerEncoder, Projector, SeedBinRegressor)
+
+
+class ViTEncoder(nn.Module):
+    """Plain ViT encoder with patch tokens reassembled to a feature grid."""
+
+    embed_dim: int = 384
+    depth: int = 6
+    num_heads: int = 0  # 0 = auto (embed_dim // 64)
+    patch_size: int = 16
+    taps: Sequence[int] = (1, 3, 5)
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, H, W, 3); H, W divisible by patch_size.
+        p = self.patch_size
+        b, h, w, _ = x.shape
+        gh, gw = h // p, w // p
+        tok = nn.Conv(self.embed_dim, (p, p), strides=(p, p))(x)
+        tok = tok.reshape(b, gh * gw, self.embed_dim)
+        # Resolution-agnostic positional table (sliced per input size) so
+        # the same params serve padded/TTA resolutions.
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, 4096, self.embed_dim))
+        tok = tok + pos[:, :gh * gw]
+        heads = self.num_heads or max(self.embed_dim // 64, 1)
+        feats = []
+        for i in range(self.depth):
+            y = nn.LayerNorm()(tok)
+            y = nn.SelfAttention(num_heads=heads)(y)
+            tok = tok + y
+            y = nn.LayerNorm()(tok)
+            y = nn.Dense(4 * self.embed_dim)(y)
+            y = nn.gelu(y)
+            y = nn.Dense(self.embed_dim)(y)
+            tok = tok + y
+            if i in self.taps:
+                feats.append(tok.reshape(b, gh, gw, self.embed_dim))
+        feats.append(tok.reshape(b, gh, gw, self.embed_dim))
+        return feats  # low→high depth
+
+
+class DPTDecoder(nn.Module):
+    """Fusion decoder producing the MidasCore-style multi-scale taps."""
+
+    features: int = 128
+
+    @nn.compact
+    def __call__(self, enc_feats, out_hw):
+        # enc_feats: list of (B, gh, gw, E); refine coarsest→finest.
+        x = None
+        taps = []
+        for feat in reversed(enc_feats):
+            f = nn.Conv(self.features, (3, 3))(feat)
+            if x is None:
+                x = f
+            else:
+                x = jax.image.resize(x, f.shape, method="bilinear") + f
+            x = nn.relu(nn.Conv(self.features, (3, 3))(x))
+            taps.append(x)
+        # Upsample head to half input resolution (the rel-depth feature map).
+        out = jax.image.resize(
+            x, (x.shape[0], out_hw[0] // 2, out_hw[1] // 2, self.features),
+            method="bilinear")
+        out = nn.relu(nn.Conv(self.features, (3, 3))(out))
+        rel_depth = nn.Conv(1, (1, 1))(out)[..., 0]
+        # taps: [l4_rn(coarsest), r4, r3, r2]; out = r1-equivalent
+        return rel_depth, [*taps, out]
+
+
+class MetricBinsHead(nn.Module):
+    """Seed bins → per-level attractor refinement → log-binomial → depth
+    (`zoedepth_v1.py:124-202`)."""
+
+    n_bins: int = 16
+    bin_embedding_dim: int = 128
+    min_depth: float = 1e-3
+    max_depth: float = 10.0
+    attractors: Sequence[int] = (16, 8, 4, 1)
+
+    @nn.compact
+    def __call__(self, taps):
+        # taps: coarsest→finest feature maps (B, h, w, C).
+        bottleneck = taps[0]
+        x = nn.Conv(self.bin_embedding_dim, (1, 1))(bottleneck)
+        _, centers = SeedBinRegressor(
+            n_bins=self.n_bins, min_depth=self.min_depth,
+            max_depth=self.max_depth)(x)
+        for level, feat in enumerate(taps[1:len(self.attractors) + 1]):
+            proj = Projector(out_features=self.bin_embedding_dim)(feat)
+            centers = jax.image.resize(
+                centers, proj.shape[:3] + (self.n_bins,), method="bilinear")
+            centers = AttractorLayer(
+                n_bins=self.n_bins,
+                n_attractors=self.attractors[level],
+                min_depth=self.min_depth, max_depth=self.max_depth)(
+                    proj, centers)
+        last = taps[-1]
+        cond = Projector(out_features=self.bin_embedding_dim)(last)
+        centers = jax.image.resize(
+            centers, cond.shape[:3] + (self.n_bins,), method="bilinear")
+        probs = ConditionalLogBinomial(
+            n_bins=self.n_bins, cond_dim=self.bin_embedding_dim)(
+                nn.Conv(self.bin_embedding_dim, (1, 1))(last), cond)
+        depth = jnp.sum(probs * centers, axis=-1)  # (B, h, w)
+        return depth, probs, centers
+
+
+class DepthModel(nn.Module):
+    """Single-head metric depth model (ZoeDepth-style)."""
+
+    min_depth: float = 1e-3
+    max_depth: float = 10.0
+    n_bins: int = 16
+    embed_dim: int = 384
+    encoder_depth: int = 6
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, H, W, 3) in [0, 1].
+        feats = ViTEncoder(embed_dim=self.embed_dim,
+                           depth=self.encoder_depth)(x)
+        rel_depth, taps = DPTDecoder()(feats, x.shape[1:3])
+        depth, probs, centers = MetricBinsHead(
+            n_bins=self.n_bins, min_depth=self.min_depth,
+            max_depth=self.max_depth)(taps)
+        depth = jax.image.resize(depth, x.shape[:3], method="bilinear")
+        return {"metric_depth": depth, "rel_depth": rel_depth,
+                "probs": probs, "bin_centers": centers}
+
+
+class DepthModelNK(nn.Module):
+    """Two-expert variant with a learned patch-transformer router
+    (`zoedepth_nk_v1.py`): one head per depth-range config, routed by the
+    class token (hard route at inference, soft mix while training)."""
+
+    configs: Sequence[dict] = (
+        dict(name="nyu", min_depth=1e-3, max_depth=10.0),
+        dict(name="kitti", min_depth=1e-3, max_depth=80.0),
+    )
+    n_bins: int = 16
+    embed_dim: int = 384
+    encoder_depth: int = 6
+
+    @nn.compact
+    def __call__(self, x, hard_route: bool = False):
+        feats = ViTEncoder(embed_dim=self.embed_dim,
+                           depth=self.encoder_depth)(x)
+        rel_depth, taps = DPTDecoder()(feats, x.shape[1:3])
+        tokens = PatchTransformerEncoder()(taps[0])
+        logits = nn.Dense(len(self.configs))(tokens[:, 0])  # (B, 2)
+        route = jax.nn.softmax(logits, axis=-1)
+        depths = []
+        for cfg in self.configs:
+            d, _, _ = MetricBinsHead(
+                n_bins=self.n_bins, min_depth=cfg["min_depth"],
+                max_depth=cfg["max_depth"], name=f"head_{cfg['name']}")(taps)
+            depths.append(jax.image.resize(d, x.shape[:3],
+                                           method="bilinear"))
+        stacked = jnp.stack(depths, axis=-1)  # (B, H, W, 2)
+        if hard_route:
+            sel = jnp.argmax(route, axis=-1)
+            depth = jnp.take_along_axis(
+                stacked, sel[:, None, None, None], axis=-1)[..., 0]
+        else:
+            depth = jnp.sum(stacked * route[:, None, None, :], axis=-1)
+        return {"metric_depth": depth, "rel_depth": rel_depth,
+                "domain_logits": logits}

@@ -1,0 +1,130 @@
+"""Depth subsystem: losses (golden values), metrics + crops, model forward
+shapes, NK routing, TTA inference, one sharded train step, config merge."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from priordepth_gaussiansplatting_tpu.depth import config as dcfg
+from priordepth_gaussiansplatting_tpu.depth import infer as dinfer
+from priordepth_gaussiansplatting_tpu.depth import losses as dl
+from priordepth_gaussiansplatting_tpu.depth import metrics as dm
+from priordepth_gaussiansplatting_tpu.depth.trainer import (DepthTrainer,
+                                                            DepthTrainerConfig,
+                                                            onecycle_lr)
+
+
+def test_silog_zero_for_perfect_and_scale_component():
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 16, 16) + 0.5)
+    assert float(dl.silog_loss(x, x)) == pytest.approx(0.0, abs=1e-4)
+    # Pure scaling: var(g)=0, mean(g)=log2 -> 10*sqrt(0.15)*log2.
+    want = 10.0 * np.sqrt(0.15) * np.log(2.0)
+    assert float(dl.silog_loss(2.0 * x, x)) == pytest.approx(want, rel=1e-3)
+
+
+def test_grad_l1_zero_for_shifted():
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 16, 16))
+    assert float(dl.grad_l1_loss(x + 5.0, x)) == pytest.approx(0.0, abs=1e-5)
+    assert float(dl.grad_l1_loss(2 * x, x)) > 0
+
+
+def test_scale_shift_closed_form():
+    rng = np.random.RandomState(2)
+    pred = jnp.asarray(rng.rand(2, 16, 16).astype(np.float32))
+    target = 3.0 * pred + 0.7
+    s, t = dl.compute_scale_and_shift(pred, target,
+                                      jnp.ones_like(pred, bool))
+    np.testing.assert_allclose(np.asarray(s), 3.0, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(t), 0.7, rtol=1e-3)
+    assert float(dl.scale_and_shift_invariant_loss(pred, target)) \
+        == pytest.approx(0.0, abs=1e-6)
+
+
+def test_depth_metrics_and_crops():
+    gt = np.full((100, 100), 2.0)
+    pred = np.full((100, 100), 2.2)
+    m = dm.compute_metrics(gt, pred, max_depth_eval=10.0)
+    assert m["a1"] == 1.0
+    assert m["abs_rel"] == pytest.approx(0.1, rel=1e-6)
+    # eigen crop reduces the evaluated region but not the (constant) errors
+    m2 = dm.compute_metrics(gt, pred, max_depth_eval=10.0, eigen_crop=True)
+    assert m2["abs_rel"] == pytest.approx(0.1, rel=1e-6)
+    ra = dm.RunningAverageDict()
+    ra.update({"a1": 1.0})
+    ra.update({"a1": 0.0})
+    assert ra.get_value()["a1"] == 0.5
+
+
+def test_onecycle_lr_shape():
+    lrs = [float(onecycle_lr(s, 100, 1.0)) for s in (0, 30, 100)]
+    assert lrs[0] == pytest.approx(1.0 / 25.0, rel=1e-3)  # init = max/25
+    assert lrs[1] == pytest.approx(1.0, rel=1e-3)         # peak at pct_start
+    assert lrs[2] < 0.01                                  # annealed
+
+
+@pytest.fixture(scope="module")
+def depth_model_and_params():
+    cfg = dcfg.get_config("depth", "train", "nyu", embed_dim=64,
+                          encoder_depth=2, n_bins=8)
+    model = dcfg.build_model(cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    return model, params
+
+
+def test_depth_model_forward_shapes(depth_model_and_params):
+    model, params = depth_model_and_params
+    x = jnp.ones((2, 64, 64, 3)) * 0.5
+    out = model.apply(params, x)
+    assert out["metric_depth"].shape == (2, 64, 64)
+    assert np.isfinite(np.asarray(out["metric_depth"])).all()
+    d = np.asarray(out["metric_depth"])
+    assert (d >= 0).all() and (d <= 10.0 + 1e-3).all()  # within bin range
+
+
+def test_depth_nk_router():
+    cfg = dcfg.get_config("depth_nk", "infer", "mix", embed_dim=64,
+                          encoder_depth=2, n_bins=8)
+    model = dcfg.build_model(cfg)
+    x = jnp.ones((1, 64, 64, 3)) * 0.3
+    params = model.init(jax.random.PRNGKey(1), x)
+    out = model.apply(params, x)
+    assert out["domain_logits"].shape == (1, 2)
+    hard = model.apply(params, x, hard_route=True)
+    assert hard["metric_depth"].shape == (1, 64, 64)
+
+
+def test_tta_inference_and_png_roundtrip(depth_model_and_params, tmp_path):
+    model, params = depth_model_and_params
+    depth = dinfer.infer_with_tta(model.apply, params,
+                                  jnp.ones((1, 48, 56, 3)) * 0.5)
+    assert depth.shape == (1, 48, 56)
+    path = str(tmp_path / "d.png")
+    dinfer.save_invdepth_png(path, np.asarray(depth[0]))
+    from PIL import Image
+    arr = np.asarray(Image.open(path))
+    assert arr.dtype == np.uint16 and arr.shape == (48, 56)
+
+
+def test_depth_trainer_step_decreases_loss(depth_model_and_params):
+    model, _ = depth_model_and_params
+    cfg = DepthTrainerConfig(steps_per_epoch=10, epochs=1, lr=1e-3)
+    tr = DepthTrainer(model, cfg)
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.rand(8, 64, 64, 3).astype(np.float32))
+    gt = jnp.asarray(2.0 + rng.rand(8, 64, 64).astype(np.float32))
+    mask = jnp.ones((8, 64, 64), bool)
+    tr.init(img[:1])
+    losses = [tr.train_step(img, gt, mask) for _ in range(6)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_config_merge_layers():
+    c = dcfg.get_config("depth_nk", "train", "kitti", lr=5e-4)
+    assert c.model == "depth_nk"
+    assert c.max_depth == 80.0       # dataset layer
+    assert c.lr == 5e-4              # override wins
+    assert c.garg_crop is True
+    assert c.mode == "train"
