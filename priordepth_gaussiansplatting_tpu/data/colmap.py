@@ -282,8 +282,23 @@ def write_points3D_text(points: Dict[int, ColmapPoint3D], path) -> None:
             f.write(f"{pt.id} {xyz} {rgb} {pt.error} {track}\n")
 
 
-def read_model(sparse_dir: str):
-    """Auto-detect bin/txt and read (cameras, images, points3D)."""
+def read_model(sparse_dir: str, prefer_native: bool = True):
+    """Auto-detect bin/txt and read (cameras, images, points3D).
+
+    Binary files are parsed by the native C++ runtime when available
+    (data/native.py — single-pass flat-array parsing), with these Python
+    readers as the fallback and as the golden reference in tests."""
+    images_bin_fn = read_images_binary
+    points_bin_fn = read_points3D_binary
+    if prefer_native:
+        try:
+            from . import native  # noqa: PLC0415
+            if native.have_native():
+                images_bin_fn = native.read_images_binary
+                points_bin_fn = native.read_points3D_binary
+        except Exception:
+            pass
+
     def pick(stem, bin_fn, txt_fn):
         b = os.path.join(sparse_dir, stem + ".bin")
         t = os.path.join(sparse_dir, stem + ".txt")
@@ -294,6 +309,6 @@ def read_model(sparse_dir: str):
         raise FileNotFoundError(f"{stem}.bin/.txt not found in {sparse_dir}")
 
     cameras = pick("cameras", read_cameras_binary, read_cameras_text)
-    images = pick("images", read_images_binary, read_images_text)
-    points = pick("points3D", read_points3D_binary, read_points3D_text)
+    images = pick("images", images_bin_fn, read_images_text)
+    points = pick("points3D", points_bin_fn, read_points3D_text)
     return cameras, images, points
