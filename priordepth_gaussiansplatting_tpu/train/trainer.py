@@ -109,6 +109,12 @@ class Trainer:
                     self.state, self.opt_state = self.fns.reset_opacity(
                         self.state, self.opt_state)
 
+            # PriorDepth thesis events (train.py:193-291).
+            if opt.noise_injection_iter and it == opt.noise_injection_iter:
+                self.inject_noise()
+            if opt.floating_prune_iter and it == opt.floating_prune_iter:
+                self.run_floating_prune()
+
             loss = float(metrics["loss"])
             self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
             if not self.quiet and it % 100 == 0:
@@ -161,6 +167,38 @@ class Trainer:
                           f"l1 {out[split]['l1']:.4f}", flush=True)
         self.history.append({"iteration": it, **out})
         return out
+
+    def inject_noise(self) -> None:
+        """Iteration-30000 robustness experiment: plant floating Gaussians
+        (`train.py:193-221`; see train/prune.inject_noise_gaussians)."""
+        from . import prune as prune_lib  # noqa: PLC0415
+        self.key, k = jax.random.split(self.key)
+        self.state, self.opt_state, _ = prune_lib.inject_noise_gaussians(
+            self.state, self.opt_state, k, self.scene.cameras_extent)
+        if not self.quiet:
+            print(f"[it {self.iteration}] injected noise gaussians "
+                  f"(n_active={int(self.state.num_active)})", flush=True)
+
+    def run_floating_prune(self) -> None:
+        """Iteration-40000 depth-prior floating-object prune loop
+        (`train.py:224-291`)."""
+        from ..ops.render import render as render_fn  # noqa: PLC0415
+        from . import prune as prune_lib  # noqa: PLC0415
+
+        def rfn(cam, state):
+            out = render_fn(cam, state, self.bg,
+                            antialiasing=self.pipe_cfg.antialiasing,
+                            backend=self.pipe_cfg.backend)
+            return out["invdepth"], out["radii"]
+
+        self.state, self.opt_state, info = prune_lib.prune_loop(
+            self.state, self.opt_state, self.scene.train_cameras, rfn,
+            self.scene.cameras_extent,
+            rng=np.random.RandomState(self.rng.randint(0, 2 ** 31)))
+        if not self.quiet:
+            print(f"[it {self.iteration}] floating-object prune: "
+                  f"deleted {info['total_deleted']} over "
+                  f"{info['epochs']} views", flush=True)
 
     def save_snapshot(self, it: int) -> None:
         print(f"[it {it}] saving snapshot", flush=True)

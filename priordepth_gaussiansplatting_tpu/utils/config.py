@@ -74,6 +74,12 @@ class OptimizationConfig:
     optimizer_type: str = "default"  # "default" | "sparse_adam"
     # Reference train.py:68 hard-codes is_depth_feedback=False; exposed here.
     depth_feedback: bool = False
+    # PriorDepth thesis events (train.py:193-291): noise-Gaussian injection
+    # and the depth-prior floating-object prune loop. Fire only when the run
+    # reaches these iterations (reference defaults run 30k, so the prune
+    # loop needs --iterations >= 40000). Set to 0 to disable.
+    noise_injection_iter: int = 30_000
+    floating_prune_iter: int = 40_000
 
 
 SHORTHAND = {

@@ -152,3 +152,40 @@ def test_network_gui_roundtrip(trained):
     np.testing.assert_array_equal(img, want)
     client.close()
     gui.close()
+
+
+def test_thesis_events_fire(tmp_path):
+    """Noise injection at its iteration adds 6 Gaussians; the floating-prune
+    loop runs (and no-ops gracefully without depth priors)."""
+    root = str(tmp_path / "scene")
+    _make_blender_scene(root, n_frames=2, size=32)
+    model_cfg = ModelConfig(source_path=root, model_path="",
+                            white_background=True)
+    opt_cfg = OptimizationConfig(iterations=45, position_lr_max_steps=45,
+                                 densify_from_iter=1000,
+                                 densify_until_iter=0,
+                                 opacity_reset_interval=10_000,
+                                 noise_injection_iter=30,
+                                 floating_prune_iter=40)
+    scene = Scene(root, "", white_background=True)
+    xyz, cols, nrm = scene.info.point_cloud
+    scene.info = scene.info.__class__(
+        point_cloud=(xyz[:64], cols[:64], nrm[:64]),
+        train_cameras=scene.info.train_cameras,
+        test_cameras=scene.info.test_cameras,
+        nerf_normalization=scene.info.nerf_normalization,
+        ply_path=scene.info.ply_path, is_nerf_synthetic=True)
+    trainer = Trainer(model_cfg, opt_cfg, PipelineConfig(backend="oracle"),
+                      scene, quiet=True)
+    n0 = None
+    seen = {}
+
+    def hook(tr, it, m):
+        nonlocal n0
+        if it == 29:
+            n0 = int(tr.state.num_active)
+        if it == 31:
+            seen["after_inject"] = int(tr.state.num_active)
+
+    trainer.train(test_iterations=(), save_iterations=(), on_iteration=hook)
+    assert seen["after_inject"] == n0 + 6
