@@ -122,11 +122,11 @@ def _tile_range(start_ref, end_ref, t):
     return astart, start, end, nchunks
 
 
-def _fwd_kernel(start_ref, end_ref, attrs_hbm, color_ref, invd_ref, t_ref,
-                chunk_ref, sem, *, grid_x):
+def _fwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, color_ref, invd_ref,
+                t_ref, chunk_ref, sem, *, grid_x):
     t = pl.program_id(0)
     astart, start, end, nchunks = _tile_range(start_ref, end_ref, t)
-    px, py = _pixel_coords(t, grid_x)
+    px, py = _pixel_coords(tid_ref[t], grid_x)
 
     def body(i, carry):
         # R: UNMASKED running product over all kept pairs — the liveness
@@ -180,12 +180,12 @@ def _fwd_kernel(start_ref, end_ref, attrs_hbm, color_ref, invd_ref, t_ref,
     t_ref[0] = Tm
 
 
-def _bwd_kernel(start_ref, end_ref, attrs_hbm, dC_ref, dD_ref, dT_ref,
-                ctot_ref, dtot_ref, tfin_ref, dattrs_hbm,
+def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
+                dT_ref, ctot_ref, dtot_ref, tfin_ref, dattrs_hbm,
                 chunk_ref, gchunk_ref, sem, gsem, *, grid_x):
     t = pl.program_id(0)
     astart, start, end, nchunks = _tile_range(start_ref, end_ref, t)
-    px, py = _pixel_coords(t, grid_x)
+    px, py = _pixel_coords(tid_ref[t], grid_x)
 
     dC = dC_ref[0]      # (PIX, 3)
     dD = dD_ref[0]      # (PIX, 1)
@@ -295,15 +295,23 @@ def _image_to_tiles(img: jnp.ndarray, grid_x: int, grid_y: int) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=32)
-def _make_composite(width: int, height: int, p_pad: int, interpret: bool):
-    """Build the custom-VJP composite for one (resolution, capacity)."""
+def _make_composite(width: int, height: int, p_pad: int, interpret: bool,
+                    num_local_tiles: int | None = None):
+    """Build the custom-VJP composite for one (resolution, capacity).
+
+    With `num_local_tiles`, the composite covers only that many tiles (a
+    band for tile-sharded multi-chip rendering): inputs gain a `tile_ids`
+    array of GLOBAL tile indices, tile_start/tile_end are the band's
+    ranges, and outputs stay in raw (tiles, PIX, C) layout for the caller
+    to assemble after gathering bands."""
     grid_x, grid_y = binning.grid_shape(width, height)
-    num_tiles = grid_x * grid_y
+    num_tiles = num_local_tiles or grid_x * grid_y
+    raw_tiles = num_local_tiles is not None
 
     fwd_call = pl.pallas_call(
         functools.partial(_fwd_kernel, grid_x=grid_x),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(num_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=[
@@ -330,7 +338,7 @@ def _make_composite(width: int, height: int, p_pad: int, interpret: bool):
     bwd_call = pl.pallas_call(
         functools.partial(_bwd_kernel, grid_x=grid_x),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(num_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),   # attrs
@@ -360,34 +368,54 @@ def _make_composite(width: int, height: int, p_pad: int, interpret: bool):
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
 
-    @jax.custom_vjp
-    def composite(attrs, tile_start, tile_end):
-        color_t, invd_t, t_t = fwd_call(tile_start, tile_end, attrs)
-        return (_tiles_to_image(color_t, grid_x, grid_y, width, height),
-                _tiles_to_image(invd_t, grid_x, grid_y, width, height),
-                _tiles_to_image(t_t, grid_x, grid_y, width, height))
+    def assemble(tiles3):
+        if raw_tiles:
+            return tiles3
+        return tuple(_tiles_to_image(t, grid_x, grid_y, width, height)
+                     for t in tiles3)
 
-    def composite_fwd(attrs, tile_start, tile_end):
-        color_t, invd_t, t_t = fwd_call(tile_start, tile_end, attrs)
-        out = (_tiles_to_image(color_t, grid_x, grid_y, width, height),
-               _tiles_to_image(invd_t, grid_x, grid_y, width, height),
-               _tiles_to_image(t_t, grid_x, grid_y, width, height))
-        return out, (attrs, tile_start, tile_end, color_t, invd_t, t_t)
+    def disassemble(cts):
+        if raw_tiles:
+            return cts
+        return tuple(_image_to_tiles(c, grid_x, grid_y) for c in cts)
+
+    def _zero_cts(cts):
+        if raw_tiles:
+            shapes = [(num_tiles, PIX, 3), (num_tiles, PIX, 1),
+                      (num_tiles, PIX, 1)]
+        else:
+            shapes = [(3, height, width), (1, height, width),
+                      (1, height, width)]
+        return tuple(jnp.zeros(sh, jnp.float32) if c is None else c
+                     for c, sh in zip(cts, shapes))
+
+    @jax.custom_vjp
+    def composite(attrs, tile_ids, tile_start, tile_end):
+        outs = fwd_call(tile_ids, tile_start, tile_end, attrs)
+        return assemble(outs)
+
+    def composite_fwd(attrs, tile_ids, tile_start, tile_end):
+        color_t, invd_t, t_t = fwd_call(tile_ids, tile_start, tile_end,
+                                        attrs)
+        out = assemble((color_t, invd_t, t_t))
+        return out, (attrs, tile_ids, tile_start, tile_end, color_t,
+                     invd_t, t_t)
 
     def composite_bwd(res, cts):
-        attrs, tile_start, tile_end, color_t, invd_t, t_t = res
-        d_color, d_invd, d_t = cts
-        zc = jnp.zeros((3, height, width), jnp.float32)
-        z1 = jnp.zeros((1, height, width), jnp.float32)
-        d_color = zc if d_color is None else d_color
-        d_invd = z1 if d_invd is None else d_invd
-        d_t = z1 if d_t is None else d_t
-        dC_t = _image_to_tiles(d_color, grid_x, grid_y)
-        dD_t = _image_to_tiles(d_invd, grid_x, grid_y)
-        dT_t = _image_to_tiles(d_t, grid_x, grid_y)
-        (d_attrs,) = bwd_call(tile_start, tile_end, attrs,
+        attrs, tile_ids, tile_start, tile_end, color_t, invd_t, t_t = res
+        dC_t, dD_t, dT_t = disassemble(_zero_cts(cts))
+        (d_attrs,) = bwd_call(tile_ids, tile_start, tile_end, attrs,
                               dC_t, dD_t, dT_t, color_t, invd_t, t_t)
-        return d_attrs, None, None
+        # The backward kernel only writes pairs inside this call's tile
+        # ranges (plus chunk-aligned overlap it preserves by RMW); pairs
+        # outside [first start, last end) hold garbage from HBM — zero them
+        # so sharded band calls can be psum'd safely.
+        lo = tile_start[0]
+        hi = tile_end[-1]
+        lane = jnp.arange(d_attrs.shape[1])
+        owned = (lane >= lo) & (lane < hi)
+        d_attrs = jnp.where(owned[None, :], d_attrs, 0.0)
+        return d_attrs, None, None, None
 
     composite.defvjp(composite_fwd, composite_bwd)
     return composite
@@ -419,8 +447,10 @@ def rasterize(proj: ProjectedGaussians, bg: jnp.ndarray,
                            ((0, ROWS - NROW), (0, CHUNK)))
 
     composite = _make_composite(width, height, p_pad, interpret)
-    color, invd, t_fin = composite(sorted_attrs, binned.tile_start,
-                                   binned.tile_end)
+    grid_x, grid_y = binning.grid_shape(width, height)
+    tile_ids = jnp.arange(grid_x * grid_y, dtype=jnp.int32)
+    color, invd, t_fin = composite(sorted_attrs, tile_ids,
+                                   binned.tile_start, binned.tile_end)
     image = color + t_fin * bg[:, None, None]
     return {
         "render": image,
@@ -433,3 +463,29 @@ def rasterize(proj: ProjectedGaussians, bg: jnp.ndarray,
 def default_pair_capacity(n: int) -> int:
     """Static pair-list capacity: ~8 tiles/Gaussian, power-of-two padded."""
     return int(max(2 ** int(np.ceil(np.log2(max(n * 8, 4096)))), 4096))
+
+
+def composite_bands(sorted_attrs_padded: jnp.ndarray, tile_ids: jnp.ndarray,
+                    tile_start: jnp.ndarray, tile_end: jnp.ndarray,
+                    width: int, height: int,
+                    interpret: bool | None = None):
+    """Raw band composite for tile-sharded multi-chip rendering.
+
+    `tile_ids` are GLOBAL tile indices of this band (static length);
+    tile_start/tile_end the matching pair ranges. Returns
+    (color, invd, T) as raw (n_band_tiles, PIX, C) tiles; assemble the full
+    image after gathering bands with :func:`tiles_to_image`. The custom VJP
+    zeroes pair-gradient lanes outside the band so per-band cotangents can
+    be summed across chips.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    comp = _make_composite(width, height, sorted_attrs_padded.shape[1],
+                           interpret, num_local_tiles=int(tile_ids.shape[0]))
+    return comp(sorted_attrs_padded, tile_ids, tile_start, tile_end)
+
+
+def tiles_to_image(tiles: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
+    """Public (num_tiles, PIX, C) -> (C, H, W) assembly for gathered bands."""
+    grid_x, grid_y = binning.grid_shape(width, height)
+    return _tiles_to_image(tiles, grid_x, grid_y, width, height)

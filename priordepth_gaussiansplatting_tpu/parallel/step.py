@@ -38,9 +38,59 @@ from ..utils.config import OptimizationConfig, PipelineConfig
 from . import mesh as mesh_lib
 
 
+def _rasterize_tile_sharded(proj_full, bg, width: int, height: int,
+                            n_shards: int, axis_name: str):
+    """SP-analog path: every rank composites a BAND of the tile grid; bands
+    are all-gathered into the image. The band VJP zeroes non-owned pair
+    lanes, so the psum the gather VJP inserts over `axis_name` sums exact
+    per-band contributions (SURVEY.md §5.7 north star)."""
+    from ..ops import binning as binning_lib  # noqa: PLC0415
+    from ..ops import rasterize_pallas as rp  # noqa: PLC0415
+
+    n = proj_full.mean2d.shape[0]
+    pair_capacity = rp.default_pair_capacity(n)
+    binned = binning_lib.bin_gaussians(proj_full, width, height,
+                                       pair_capacity)
+    proj_sorted = jax.tree.map(lambda x: x[binned.depth_order], proj_full)
+    attrs = binning_lib.pack_attributes(proj_sorted)
+    sorted_attrs = attrs[:, binned.gauss_ids]
+    pair_valid = (jnp.arange(pair_capacity) < binned.num_pairs)[None, :]
+    sorted_attrs = jnp.where(pair_valid, sorted_attrs, 0.0)
+    sorted_attrs = jnp.pad(sorted_attrs,
+                           ((0, rp.ROWS - rp.NROW), (0, rp.CHUNK)))
+
+    grid_x, grid_y = binning_lib.grid_shape(width, height)
+    nt = grid_x * grid_y
+    band = -(-nt // n_shards)
+    pad = band * n_shards - nt
+    tile_ids = jnp.pad(jnp.arange(nt, dtype=jnp.int32), (0, pad))
+    # padded tiles: empty ranges -> zero output, dropped at assembly.
+    starts = jnp.pad(binned.tile_start, (0, pad),
+                     constant_values=0)
+    ends = jnp.pad(binned.tile_end, (0, pad), constant_values=0)
+    m = jax.lax.axis_index(axis_name)
+    my_ids = jax.lax.dynamic_slice(tile_ids, (m * band,), (band,))
+    my_start = jax.lax.dynamic_slice(starts, (m * band,), (band,))
+    my_end = jax.lax.dynamic_slice(ends, (m * band,), (band,))
+
+    color_b, invd_b, t_b = rp.composite_bands(
+        sorted_attrs, my_ids, my_start, my_end, width, height)
+    gather = lambda x: jax.lax.all_gather(x, axis_name, axis=0, tiled=True)
+    color = rp.tiles_to_image(gather(color_b)[:nt], width, height)
+    invd = rp.tiles_to_image(gather(invd_b)[:nt], width, height)
+    t_fin = rp.tiles_to_image(gather(t_b)[:nt], width, height)
+    image = color + t_fin * bg[:, None, None]
+    return {"render": image, "invdepth": invd, "final_T": t_fin[0],
+            "overflow": binned.overflow}
+
+
 def _render_gathered(camera: Camera, state: GaussianState, bg, screen_offset,
-                     pipe_cfg: PipelineConfig, axis_name: str):
-    """Project the local shard, all-gather screen-space attrs, rasterize."""
+                     pipe_cfg: PipelineConfig, axis_name: str,
+                     tile_shard_n: int = 0):
+    """Project the local shard, all-gather screen-space attrs, rasterize.
+
+    With `tile_shard_n` > 0 the compositing work is ALSO sharded over the
+    same axis (each rank renders a tile band)."""
     cov3d = state.get_covariance()
     proj = proj_ops.project_gaussians(
         state.params.xyz, cov3d, state.get_opacity(), state.get_features(),
@@ -52,7 +102,11 @@ def _render_gathered(camera: Camera, state: GaussianState, bg, screen_offset,
     proj = dataclasses.replace(proj, mean2d=proj.mean2d + screen_offset)
     proj_full = jax.tree.map(
         lambda x: jax.lax.all_gather(x, axis_name, axis=0, tiled=True), proj)
-    if pipe_cfg.backend in ("pallas", "auto"):
+    if tile_shard_n > 1 and pipe_cfg.backend in ("pallas", "auto"):
+        out = _rasterize_tile_sharded(proj_full, bg, camera.width,
+                                      camera.height, tile_shard_n,
+                                      axis_name)
+    elif pipe_cfg.backend in ("pallas", "auto"):
         try:
             from ..ops import rasterize_pallas as rp  # noqa: PLC0415
             out = rp.rasterize(proj_full, bg, camera.width, camera.height)
@@ -67,13 +121,18 @@ def _render_gathered(camera: Camera, state: GaussianState, bg, screen_offset,
 
 def make_sharded_train_step(opt_cfg: OptimizationConfig,
                             pipe_cfg: PipelineConfig, mesh,
-                            use_trained_exp: bool = False):
+                            use_trained_exp: bool = False,
+                            tile_shard: bool = False):
     """Returns a jitted step(state, opt_state, cam_batch, step, key, bg).
 
     `cam_batch` is a Camera pytree with a leading batch axis equal to the
-    `data` axis size; state/opt are sharded per mesh.state_spec().
+    `data` axis size; state/opt are sharded per mesh.state_spec(). With
+    `tile_shard`, the gauss axis also shards the tile-compositing work
+    (each rank renders a band of the image).
     """
     sparse = opt_cfg.optimizer_type == "sparse_adam"
+    n_gauss = int(mesh.shape[mesh_lib.GAUSS_AXIS])
+    tile_shard_n = n_gauss if tile_shard else 0
 
     def local_step(state, opt_state, cam_batch, step_i, key, bg):
         # One camera per data rank (leading axis sliced to 1 by shard_map).
@@ -85,7 +144,7 @@ def make_sharded_train_step(opt_cfg: OptimizationConfig,
             st = dataclasses.replace(state, params=params)
             out, local_radii = _render_gathered(
                 camera, st, bg, screen_offset, pipe_cfg,
-                mesh_lib.GAUSS_AXIS)
+                mesh_lib.GAUSS_AXIS, tile_shard_n=tile_shard_n)
             image = out["render"]
             if use_trained_exp and camera.exposure_id >= 0:
                 exposure = st.get_exposure(camera.exposure_id)
@@ -106,12 +165,23 @@ def make_sharded_train_step(opt_cfg: OptimizationConfig,
                         else jnp.ones_like(camera.invdepth))
                 loss = loss + w * losses.depth_l1_loss(
                     out["invdepth"][0], camera.invdepth, mask)
+            # The loss is computed (identically) on every gauss rank, and
+            # the all_gather transpose SUMS the n_gauss per-rank cotangent
+            # copies. Dividing the per-rank loss by n_gauss (a plain static
+            # scale — collectives don't transpose the way you'd hope under
+            # shard_map) makes that sum come out to exactly 1x.
+            loss = loss / n_gauss
             return loss, (local_radii, ll1)
 
         (loss, (radii, ll1)), (pgrads, sgrads) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(
                 state.params, screen_offset)
 
+        # Replicated (non-per-gaussian) leaves see only their rank's 1/n
+        # share after the pmean: sum them over the gauss axis.
+        pgrads = dataclasses.replace(
+            pgrads, exposure=jax.lax.psum(pgrads.exposure,
+                                          mesh_lib.GAUSS_AXIS))
         # Gradient all-reduce over the camera-DP axis (mean).
         nd = jax.lax.psum(1, mesh_lib.DATA_AXIS)
         pgrads = jax.tree.map(
@@ -129,7 +199,8 @@ def make_sharded_train_step(opt_cfg: OptimizationConfig,
         state = densify_ops.add_densification_stats(
             state, sgrads, max_radii, camera.width, camera.height)
         metrics = {
-            "loss": jax.lax.pmean(loss, mesh_lib.DATA_AXIS),
+            # undo the 1/n_gauss grad-normalisation for reporting
+            "loss": jax.lax.pmean(loss * n_gauss, mesh_lib.DATA_AXIS),
             "l1": jax.lax.pmean(ll1, mesh_lib.DATA_AXIS),
             "n_active": jax.lax.psum(state.num_active, mesh_lib.GAUSS_AXIS),
         }

@@ -101,3 +101,27 @@ def test_gauss_sharding_matches_unsharded_loss():
 def test_graft_dryrun():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_tile_sharded_matches_unsharded():
+    """SP-analog: sharding the tile grid over 4 ranks must reproduce the
+    unsharded pallas loss and parameter updates."""
+    state, cams = _scene(n=32, capacity=64, w=48, h=48, n_cams=1)
+    opt_state = optim.init_adam(state.params)
+    opt_cfg = OptimizationConfig()
+    pipe_cfg = PipelineConfig(backend="pallas")
+
+    results = []
+    for n_gauss, tile_shard in ((1, False), (4, True)):
+        mesh = mesh_lib.make_mesh(1, n_gauss)
+        step = pstep.make_sharded_train_step(opt_cfg, pipe_cfg, mesh,
+                                             tile_shard=tile_shard)
+        s, o, m = step(jax.tree.map(jnp.array, state),
+                       jax.tree.map(jnp.array, opt_state),
+                       pstep.stack_cameras(cams), jnp.asarray(1),
+                       jax.random.PRNGKey(0), jnp.zeros(3))
+        results.append((float(m["loss"]), np.asarray(s.params.xyz),
+                        np.asarray(s.xyz_gradient_accum)))
+    assert results[0][0] == pytest.approx(results[1][0], rel=1e-5)
+    np.testing.assert_allclose(results[1][1], results[0][1], atol=1e-6)
+    np.testing.assert_allclose(results[1][2], results[0][2], atol=1e-4)
