@@ -23,6 +23,7 @@ from ..core.cameras import Camera
 from ..models import gaussians as gm
 from ..utils.config import (ModelConfig, OptimizationConfig, PipelineConfig,
                             save_cfg_args)
+from ..utils.logging import MetricsLogger
 from . import checkpoint as ckpt
 from . import optim
 from . import step as step_lib
@@ -56,6 +57,7 @@ class Trainer:
         self.ema_loss = 0.0
         self.history: List[dict] = []
 
+        self.logger = MetricsLogger(model_cfg.model_path)
         if model_cfg.model_path:
             save_cfg_args(model_cfg.model_path, model_cfg)
 
@@ -117,6 +119,14 @@ class Trainer:
 
             loss = float(metrics["loss"])
             self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
+            if it % 10 == 0:
+                # Reference TB scalar names (train.py:402-445).
+                self.logger.scalars({
+                    "train_loss_patches/l1_loss": float(metrics["l1"]),
+                    "train_loss_patches/total_loss": loss,
+                    "total_points": int(metrics["n_active"]),
+                    "iter_time": time.time() - t_start,
+                }, it)
             if not self.quiet and it % 100 == 0:
                 n_act = int(metrics["n_active"])
                 print(f"[it {it}/{total}] loss {self.ema_loss:.5f} "
@@ -161,6 +171,10 @@ class Trainer:
             if psnrs:
                 out[split] = {"psnr": float(np.mean(psnrs)),
                               "l1": float(np.mean(l1s))}
+                self.logger.scalar(f"{split}/loss_viewpoint - psnr",
+                                   out[split]["psnr"], it)
+                self.logger.scalar(f"{split}/loss_viewpoint - l1_loss",
+                                   out[split]["l1"], it)
                 if not self.quiet:
                     print(f"[it {it}] eval {split}: "
                           f"psnr {out[split]['psnr']:.2f} "

@@ -2,6 +2,7 @@
 shapes, NK routing, TTA inference, one sharded train step, config merge."""
 
 import jax
+import os
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -128,3 +129,40 @@ def test_config_merge_layers():
     assert c.lr == 5e-4              # override wins
     assert c.garg_crop is True
     assert c.mode == "train"
+
+
+def test_depth_data_pipeline(tmp_path):
+    """Folder dataset + augmentations + host-sharded batches."""
+    import random as pyrandom
+    from PIL import Image
+    from priordepth_gaussiansplatting_tpu.depth import data as ddata
+    rng = np.random.RandomState(0)
+    os.makedirs(tmp_path / "images")
+    os.makedirs(tmp_path / "depths")
+    for i in range(6):
+        Image.fromarray((rng.rand(40, 48, 3) * 255).astype(np.uint8)).save(
+            tmp_path / "images" / f"im{i}.png")
+        Image.fromarray((rng.rand(40, 48) * 5000).astype(np.uint16)).save(
+            tmp_path / "depths" / f"im{i}.png")
+    ds = ddata.FolderDepthDataset(str(tmp_path), depth_scale=1000.0)
+    assert len(ds) == 6
+    s = ds[0]
+    assert s.image.shape == (40, 48, 3) and s.depth.shape == (40, 48)
+    assert s.mask.dtype == bool
+
+    cfg = ddata.AugmentConfig(crop_h=32, crop_w=32)
+    aug = ddata.augment(s, cfg, pyrandom.Random(0))
+    assert aug.image.shape == (32, 32, 3)
+    assert np.isfinite(aug.image).all()
+
+    got = list(ddata.batches(ds, batch_size=2, cfg=cfg, epochs=1))
+    assert len(got) == 3
+    assert got[0]["image"].shape == (2, 32, 32, 3)
+    # host sharding partitions the permutation
+    h0 = list(ddata.batches(ds, 1, host_count=2, host_index=0))
+    h1 = list(ddata.batches(ds, 1, host_count=2, host_index=1))
+    assert len(h0) == 3 and len(h1) == 3
+
+    mixed = ddata.MixedDataset([ds, ds])
+    sample, dom = mixed.sample(pyrandom.Random(0))
+    assert dom in (0, 1)
