@@ -21,16 +21,29 @@ import json
 import sys
 import time
 
-N_GAUSS = 1_000_000
+N_GAUSS = int(__import__("os").environ.get("PDGS_BENCH_N", 1_000_000))
 WIDTH, HEIGHT = 1600, 1066
 BASELINE_RAYS_PER_S = 30e6
 ITERS = 10
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    # Persistent compile cache — first-compile of the 1M-Gaussian program is
+    # expensive through the remote TPU compile service.
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.join(os.path.dirname(__file__) or ".",
+                                        ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from priordepth_gaussiansplatting_tpu.core import transforms
     from priordepth_gaussiansplatting_tpu.ops import projection as proj_ops

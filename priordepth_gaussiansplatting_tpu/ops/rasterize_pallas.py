@@ -124,51 +124,60 @@ def _tile_range(start_ref, end_ref, t):
 
 def _fwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, color_ref, invd_ref,
                 t_ref, chunk_ref, sem, *, grid_x):
+    """Forward compositing for one tile, double-buffered.
+
+    The chunk DMA is UNCONDITIONAL (start i+1's copy, wait i, compute) —
+    conditional DMAs inside lax.cond proved fragile on hardware, and the
+    early-termination work saving is instead realised by masking: dead
+    chunks cost one small DMA + masked VPU work.
+    """
     t = pl.program_id(0)
     astart, start, end, nchunks = _tile_range(start_ref, end_ref, t)
     px, py = _pixel_coords(tid_ref[t], grid_x)
 
+    def dma(i, slot):
+        return pltpu.make_async_copy(
+            attrs_hbm.at[:, pl.ds(astart + i * CHUNK, CHUNK)],
+            chunk_ref.at[slot], sem.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma(0, 0).start()
+
     def body(i, carry):
-        # R: UNMASKED running product over all kept pairs — the liveness
-        # state (once < eps it never revives, even for tiny later alphas:
-        # the sequential loop's `done` flag). Tm: live-masked product — the
-        # actual final transmittance the background is composited with.
         R, Tm, C, D = carry  # (PIX,1), (PIX,1), (PIX,3), (PIX,1)
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
 
-        def compute(carry):
-            R, Tm, C, D = carry
-            dma = pltpu.make_async_copy(
-                attrs_hbm.at[:, pl.ds(astart + i * CHUNK, CHUNK)],
-                chunk_ref, sem)
-            dma.start()
-            dma.wait()
-            chunk = chunk_ref[:, :]
-            a_eff, keep, _, _, _, _ = _chunk_alpha(chunk, px, py, astart,
-                                                   start, end, i)
-            one_m = 1.0 - a_eff
-            # cumprod(one_m) = exp(cumsum(log one_m)); one_m >= 0.01 so the
-            # log is well-conditioned and the cumsum runs on the MXU.
-            log_om = jnp.log(one_m)
-            cls = _cumsum1(log_om)               # inclusive (PIX, K)
-            incl = R * jnp.exp(cls)
-            live = incl >= T_EPS
-            excl = incl / one_m
-            w = jnp.where(live, a_eff * excl, 0.0)
-            contract = (((1,), (1,)), ((), ()))
-            C = C + jax.lax.dot_general(
-                w, chunk[binning.ATTR_R:binning.ATTR_B + 1, :], contract,
-                preferred_element_type=jnp.float32)   # (PIX, 3)
-            D = D + jax.lax.dot_general(
-                w, chunk[binning.ATTR_ID:binning.ATTR_ID + 1, :], contract,
-                preferred_element_type=jnp.float32)   # (PIX, 1)
-            R = R * jnp.exp(cls[:, -1:])
-            # masked final transmittance: plain masked-log reduction.
-            Tm = Tm * jnp.exp(jnp.sum(jnp.where(live, log_om, 0.0),
-                                      axis=1, keepdims=True))
-            return R, Tm, C, D
+        @pl.when(i + 1 < nchunks)
+        def _():
+            dma(i + 1, nxt).start()
 
-        return jax.lax.cond(jnp.any(R >= T_EPS), compute, lambda c: c,
-                            (R, Tm, C, D))
+        dma(i, slot).wait()
+        chunk = chunk_ref[slot]
+        a_eff, keep, _, _, _, _ = _chunk_alpha(chunk, px, py, astart,
+                                               start, end, i)
+        one_m = 1.0 - a_eff
+        # cumprod(one_m) = exp(cumsum(log one_m)); one_m >= 0.01 so the
+        # log is well-conditioned and the cumsum runs on the MXU.
+        log_om = jnp.log(one_m)
+        cls = _cumsum1(log_om)               # inclusive (PIX, K)
+        incl = R * jnp.exp(cls)
+        live = incl >= T_EPS
+        excl = incl / one_m
+        w = jnp.where(live, a_eff * excl, 0.0)
+        contract = (((1,), (1,)), ((), ()))
+        C = C + jax.lax.dot_general(
+            w, chunk[binning.ATTR_R:binning.ATTR_B + 1, :], contract,
+            preferred_element_type=jnp.float32)   # (PIX, 3)
+        D = D + jax.lax.dot_general(
+            w, chunk[binning.ATTR_ID:binning.ATTR_ID + 1, :], contract,
+            preferred_element_type=jnp.float32)   # (PIX, 1)
+        R = R * jnp.exp(cls[:, -1:])
+        # masked final transmittance: plain masked-log reduction.
+        Tm = Tm * jnp.exp(jnp.sum(jnp.where(live, log_om, 0.0),
+                                  axis=1, keepdims=True))
+        return R, Tm, C, D
 
     T0 = jnp.ones((PIX, 1), jnp.float32)
     C0 = jnp.zeros((PIX, 3), jnp.float32)
@@ -323,8 +332,8 @@ def _make_composite(width: int, height: int, p_pad: int, interpret: bool,
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((ROWS, CHUNK), jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, ROWS, CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=[
