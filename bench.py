@@ -53,7 +53,7 @@ def main():
     key = jax.random.PRNGKey(0)
     cam = T.look_at_camera((0, 0, -2.5), width=WIDTH, height=HEIGHT)
     params = T.random_gaussians(key, N_GAUSS, extent=1.0,
-                                scale_range=(0.002, 0.01))
+                                scale_range=(0.001, 0.004))
     target = jax.random.uniform(jax.random.PRNGKey(1), (3, HEIGHT, WIDTH))
 
     def loss_fn(p):
