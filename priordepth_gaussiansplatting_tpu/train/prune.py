@@ -225,3 +225,43 @@ def inject_noise_gaussians(state: GaussianState, opt_state: optim.AdamState,
     touched = jnp.zeros(c, bool).at[dst].set(True, mode="drop")
     opt_state = optim.zero_moments_rows(opt_state, touched)
     return state.replace(params=new_params, active=active), opt_state, dst
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def adjust_gaussians_to_depth(state: GaussianState, camera: Camera,
+                              rendered_invdepth: jnp.ndarray,
+                              radii: jnp.ndarray, cam_extent: float,
+                              threshold_frac: float = 0.5):
+    """The reference's alternative `gs_adjustment` path (GaussianOpt.py:436-503):
+    instead of deleting floaters, MOVE Gaussians whose rendered depth
+    disagrees with the mono prior to the prior's depth along the camera ray
+    (the monkey-patched `set_z`, applied here to the full camera-space
+    position for geometric consistency). Not called from the reference
+    train loop; exposed for experimentation."""
+    w2c = camera.world_view
+    cam_xyz = state.params.xyz @ w2c[:3, :3].T + w2c[:3, 3]
+    cam_z = cam_xyz[:, 2]
+    fx = camera.width / (2.0 * camera.tan_fovx)
+    fy = camera.height / (2.0 * camera.tan_fovy)
+    px = fx * cam_xyz[:, 0] / cam_z + camera.width / 2.0
+    py = fy * cam_xyz[:, 1] / cam_z + camera.height / 2.0
+    valid = ((px >= 0) & (px < camera.width)
+             & (py >= 0) & (py < camera.height)
+             & (cam_z > 0) & (radii > 0) & state.active)
+    xi = jnp.clip(px.astype(jnp.int32), 0, camera.width - 1)
+    yi = jnp.clip(py.astype(jnp.int32), 0, camera.height - 1)
+    rend_depth = 1.0 / (rendered_invdepth[0][yi, xi] + EPSILON)
+    mono = camera.invdepth if camera.invdepth is not None else \
+        jnp.zeros((camera.height, camera.width))
+    mono_depth = 1.0 / (mono[yi, xi] + EPSILON)
+    move = valid & (jnp.abs(mono_depth - rend_depth)
+                    > threshold_frac * cam_extent)
+    # New camera-space position: same ray, z from the mono prior.
+    scale = mono_depth / jnp.maximum(cam_z, EPSILON)
+    new_cam = cam_xyz * scale[:, None]
+    c2w_r = w2c[:3, :3].T
+    cam_center = -c2w_r @ w2c[:3, 3]
+    new_world = new_cam @ w2c[:3, :3] + cam_center
+    xyz = jnp.where(move[:, None], new_world, state.params.xyz)
+    return (state.replace(params=state.params.replace(xyz=xyz)),
+            jnp.sum(move.astype(jnp.int32)))

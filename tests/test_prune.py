@@ -138,3 +138,19 @@ def test_noise_injection_then_prune_recovers():
     # At least most of the injected floaters get pruned.
     removed = (~np.asarray(st3.active)[dst]).sum()
     assert removed >= 4, removed
+
+
+def test_gs_adjustment_moves_floater_to_prior_depth():
+    W = H = 64
+    st, n_bg = _scene_with_floater()
+    cam = T.look_at_camera((0, 0, -2.0), width=W, height=H)
+    cam = dataclasses.replace(cam, invdepth=jnp.full((H, W), 0.5),
+                              depth_reliable=True)
+    out = render(cam, st, jnp.zeros(3), backend="oracle")
+    st2, n_moved = pr.adjust_gaussians_to_depth(
+        jax.tree.map(jnp.array, st), cam, out["invdepth"], out["radii"],
+        cam_extent=0.5)
+    assert int(n_moved) >= 1
+    # The floater (was z=-1, depth 1) moves to the prior depth (2) -> z≈0.
+    z = float(st2.params.xyz[n_bg, 2])
+    assert abs(z - 0.0) < 0.15, z

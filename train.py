@@ -38,7 +38,15 @@ def main(argv=None):
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--disable_viewer", action="store_true")
+    parser.add_argument("--detect_anomaly", action="store_true",
+                        help="jax_debug_nans (reference --detect_anomaly)")
+    parser.add_argument("--profile", action="store_true",
+                        help="write a jax.profiler trace to <model>/trace")
     args = parser.parse_args(argv)
+
+    import jax
+    if args.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
 
     model_cfg = extract_dataclass(ModelConfig, args)
     opt_cfg = extract_dataclass(OptimizationConfig, args)
@@ -72,12 +80,17 @@ def main(argv=None):
                      training_done=it >= opt_cfg.iterations,
                      source_path=model_cfg.source_path)
 
-    result = trainer.train(
-        iterations=opt_cfg.iterations,
-        test_iterations=set(args.test_iterations),
-        save_iterations=set(args.save_iterations),
-        checkpoint_iterations=set(args.checkpoint_iterations),
-        on_iteration=poll_gui if gui is not None else None)
+    import contextlib
+    prof_ctx = (jax.profiler.trace(
+        f"{model_cfg.model_path}/trace") if args.profile
+        else contextlib.nullcontext())
+    with prof_ctx:
+        result = trainer.train(
+            iterations=opt_cfg.iterations,
+            test_iterations=set(args.test_iterations),
+            save_iterations=set(args.save_iterations),
+            checkpoint_iterations=set(args.checkpoint_iterations),
+            on_iteration=poll_gui if gui is not None else None)
     print(f"\nTraining complete: {result}")
     return result
 
