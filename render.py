@@ -72,6 +72,22 @@ def main(argv=None):
                   resolution=model_cfg.resolution,
                   white_background=model_cfg.white_background,
                   train_test_exp=model_cfg.train_test_exp, shuffle=False)
+    # Pretrained exposures (reference load_ply + exposure.json,
+    # gaussian_model.py:269-280): align the saved per-image table with the
+    # scene's train-image order.
+    exp_path = os.path.join(model_cfg.model_path, "exposure.json")
+    if model_cfg.train_test_exp and os.path.exists(exp_path):
+        import json
+        with open(exp_path) as f:
+            exposures = json.load(f)
+        table = np.tile(np.eye(3, 4, dtype=np.float32)[None],
+                        (max(len(scene.exposure_ids), 1), 1, 1))
+        for name, idx in scene.exposure_ids.items():
+            if name in exposures:
+                table[idx] = np.asarray(exposures[name], np.float32)
+        state = state.replace(params=state.params.replace(
+            exposure=jnp.asarray(table)))
+
     bg = jnp.asarray([1.0, 1.0, 1.0] if model_cfg.white_background
                      else [0.0, 0.0, 0.0])
     if not args.skip_train:

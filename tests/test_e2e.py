@@ -189,3 +189,29 @@ def test_thesis_events_fire(tmp_path):
 
     trainer.train(test_iterations=(), save_iterations=(), on_iteration=hook)
     assert seen["after_inject"] == n0 + 6
+
+
+def test_render_cli_end_to_end(trained, tmp_path):
+    """The render.py CLI renders a saved model into the reference artifact
+    layout, and metrics.py computes results.json over it."""
+    import sys
+    trainer, _, out = trained
+    sys.argv_backup = list(sys.argv)
+    import render as render_cli
+    render_cli.main(["-m", out, "-s", trainer.model_cfg.source_path,
+                     "--white_background", "--skip_test"])
+    rdir = os.path.join(out, "train", "ours_60", "renders")
+    assert os.path.isdir(rdir) and len(os.listdir(rdir)) == 4
+    gdir = os.path.join(out, "train", "ours_60", "gt")
+    assert len(os.listdir(gdir)) == 4
+    # evaluate with metrics.py over the train split pretending it's test
+    import shutil
+    shutil.copytree(os.path.join(out, "train"),
+                    os.path.join(out, "test"), dirs_exist_ok=True)
+    import metrics as metrics_cli
+    res = metrics_cli.evaluate([out])
+    key = list(res[out].keys())[0]
+    assert np.isfinite(res[out][key]["PSNR"])
+    assert 0.0 <= res[out][key]["SSIM"] <= 1.0
+    assert os.path.exists(os.path.join(out, "results.json"))
+    assert os.path.exists(os.path.join(out, "per_view.json"))
