@@ -235,7 +235,8 @@ def load_camera(info: CameraInfo, resolution_arg: int = -1,
                 resolution_scale: float = 1.0, white_background: bool = False,
                 train_test_exp: bool = False, exposure_id: int = -1,
                 is_nerf_synthetic: bool = False,
-                load_image: bool = True) -> Camera:
+                load_image: bool = True,
+                data_device: str = "device") -> Camera:
     """Materialise one Camera: image, alpha mask, depth prior, matrices
     (`utils/camera_utils.py:20-75`, `scene/cameras.py:19-89`)."""
     with Image.open(info.image_path) as pil:
@@ -296,12 +297,26 @@ def load_camera(info: CameraInfo, resolution_arg: int = -1,
         if alpha_mask is not None:
             depth_mask = depth_mask * alpha_mask
 
-    return camlib.make_camera(
+    cam = camlib.make_camera(
         info.R, info.T, info.fovx, info.fovy, w, h,
         image=image, invdepth=invdepth, depth_mask=depth_mask,
         alpha_mask=alpha_mask, exposure_id=exposure_id,
         image_name=info.image_name, depth_reliable=depth_reliable,
         uid=info.uid)
+    if data_device == "cpu":
+        # Keep bulky per-view arrays host-side (numpy leaves); jit transfers
+        # them per step — the TPU-side equivalent of the reference's
+        # `--data_device cpu` trading HBM for per-step H2D traffic.
+        import dataclasses as _dc
+        cam = _dc.replace(
+            cam,
+            image=None if image is None else np.asarray(cam.image),
+            invdepth=None if invdepth is None else np.asarray(cam.invdepth),
+            depth_mask=None if depth_mask is None
+            else np.asarray(cam.depth_mask),
+            alpha_mask=None if alpha_mask is None
+            else np.asarray(cam.alpha_mask))
+    return cam
 
 
 class Scene:
@@ -312,7 +327,7 @@ class Scene:
                  eval_split: bool = False, resolution: int = -1,
                  white_background: bool = False, train_test_exp: bool = False,
                  shuffle: bool = True, seed: int = 0,
-                 load_images: bool = True):
+                 load_images: bool = True, data_device: str = "device"):
         self.model_path = model_path
         self.train_test_exp = train_test_exp
         self.info = detect_and_read_scene(
@@ -337,13 +352,13 @@ class Scene:
             load_camera(c, resolution, 1.0, white_background, train_test_exp,
                         exposure_id=self.exposure_ids[c.image_name],
                         is_nerf_synthetic=self.info.is_nerf_synthetic,
-                        load_image=load_images)
+                        load_image=load_images, data_device=data_device)
             for c in self.info.train_cameras]
         self.test_cameras = [
             load_camera(c, resolution, 1.0, white_background, train_test_exp,
                         exposure_id=-1,
                         is_nerf_synthetic=self.info.is_nerf_synthetic,
-                        load_image=load_images)
+                        load_image=load_images, data_device=data_device)
             for c in self.info.test_cameras]
         if shuffle:
             rng = random.Random(seed)

@@ -61,7 +61,9 @@ def main(argv=None):
                   images=model_cfg.images, depths=model_cfg.depths,
                   eval_split=model_cfg.eval, resolution=model_cfg.resolution,
                   white_background=model_cfg.white_background,
-                  train_test_exp=model_cfg.train_test_exp, seed=args.seed)
+                  train_test_exp=model_cfg.train_test_exp, seed=args.seed,
+                  data_device=("cpu" if model_cfg.data_device == "cpu"
+                               else "device"))
     trainer = Trainer(model_cfg, opt_cfg, pipe_cfg, scene, seed=args.seed,
                       quiet=args.quiet)
     if args.start_checkpoint:
