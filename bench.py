@@ -27,6 +27,22 @@ BASELINE_RAYS_PER_S = 30e6
 ITERS = 10
 
 
+def _watchdog(seconds: float, payload: dict):
+    """Emit a failure JSON line and hard-exit if the run wedges (a dead TPU
+    must not hang the driver forever)."""
+    import os
+    import threading
+
+    def fire():
+        print(json.dumps(payload), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     import os
 
@@ -49,6 +65,16 @@ def main():
     from priordepth_gaussiansplatting_tpu.ops import projection as proj_ops
     from priordepth_gaussiansplatting_tpu.ops import rasterize_pallas as rp
     from priordepth_gaussiansplatting_tpu.utils import testing as T
+
+    fail = {"metric": f"rays/s fwd+bwd, {N_GAUSS//1000}k gaussians "
+                      f"@{WIDTH}x{HEIGHT}, 1 chip (TIMED OUT)",
+            "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0}
+    # Health check: a trivial op must complete quickly on a live chip.
+    hc = _watchdog(180.0, fail)
+    jax.block_until_ready(jax.numpy.ones(8).sum())
+    hc.cancel()
+    # Full-run watchdog (generous: first compile of the 1M program is slow).
+    wd = _watchdog(3000.0, fail)
 
     key = jax.random.PRNGKey(0)
     cam = T.look_at_camera((0, 0, -2.5), width=WIDTH, height=HEIGHT)
@@ -75,6 +101,7 @@ def main():
     jax.block_until_ready(g)
     dt = (time.time() - t0) / ITERS
     rays_per_s = WIDTH * HEIGHT / dt
+    wd.cancel()
     print(json.dumps({
         "metric": f"rays/s fwd+bwd, {N_GAUSS//1000}k gaussians "
                   f"@{WIDTH}x{HEIGHT}, 1 chip",

@@ -150,3 +150,49 @@ def batches(dataset, batch_size: int, cfg: Optional[AugmentConfig] = None,
                 "depth": np.stack([s.depth for s in samples]),
                 "mask": np.stack([s.mask for s in samples]),
             }
+
+
+# Per-dataset conventions (reference zoedepth DATASETS_CONFIG /
+# data_mono.py dataset registry): depth PNG scale factor, eval depth caps
+# and crop. Folder layouts normalise to images/ + depths/.
+DATASET_PRESETS = {
+    "nyu": dict(depth_scale=1000.0, min_depth=1e-3, max_depth=10.0,
+                min_depth_eval=1e-3, max_depth_eval=10.0, eigen_crop=True),
+    "kitti": dict(depth_scale=256.0, min_depth=1e-3, max_depth=80.0,
+                  min_depth_eval=1e-3, max_depth_eval=80.0, garg_crop=True),
+    "ibims": dict(depth_scale=1000.0, min_depth=1e-3, max_depth=10.0,
+                  min_depth_eval=0.0, max_depth_eval=50.0, eigen_crop=True),
+    "sunrgbd": dict(depth_scale=1000.0, min_depth=1e-3, max_depth=8.0,
+                    min_depth_eval=1e-3, max_depth_eval=8.0,
+                    eigen_crop=True),
+    "diml_indoor": dict(depth_scale=1000.0, min_depth=1e-3, max_depth=10.0,
+                        min_depth_eval=1e-3, max_depth_eval=10.0,
+                        eigen_crop=True),
+    "diml_outdoor": dict(depth_scale=1000.0, min_depth=1e-3,
+                         max_depth=80.0, min_depth_eval=2.0,
+                         max_depth_eval=80.0, garg_crop=True),
+    "diode_indoor": dict(depth_scale=256.0, min_depth=1e-3, max_depth=10.0,
+                         min_depth_eval=1e-3, max_depth_eval=10.0,
+                         eigen_crop=True),
+    "diode_outdoor": dict(depth_scale=256.0, min_depth=1e-3,
+                          max_depth=80.0, min_depth_eval=1e-3,
+                          max_depth_eval=80.0, garg_crop=True),
+    "hypersim": dict(depth_scale=1000.0, min_depth=1e-3, max_depth=10.0,
+                     min_depth_eval=1e-3, max_depth_eval=10.0,
+                     eigen_crop=True),
+    "vkitti2": dict(depth_scale=100.0, min_depth=1e-3, max_depth=80.0,
+                    min_depth_eval=1e-3, max_depth_eval=80.0,
+                    garg_crop=True),
+    "ddad": dict(depth_scale=256.0, min_depth=1e-3, max_depth=80.0,
+                 min_depth_eval=1e-3, max_depth_eval=80.0, garg_crop=True),
+    "mix": dict(depth_scale=1000.0, min_depth=1e-3, max_depth=80.0),
+}
+
+
+def make_dataset(root: str, preset: str = "nyu", **overrides):
+    """Folder dataset with a named per-dataset convention preset."""
+    cfg = dict(DATASET_PRESETS[preset])
+    cfg.update(overrides)
+    return FolderDepthDataset(
+        root, depth_scale=cfg["depth_scale"],
+        min_depth=cfg["min_depth"], max_depth=cfg["max_depth"])
