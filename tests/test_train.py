@@ -144,3 +144,28 @@ def test_ssim_known_values():
     img = jnp.asarray(np.random.RandomState(0).rand(3, 32, 32).astype(np.float32))
     assert float(ssim(img, img)) > 0.999
     assert float(ssim(img, 1.0 - img)) < 0.5
+
+
+def test_sparse_adam_training_runs():
+    """optimizer_type=sparse_adam end to end: visible-only updates train."""
+    import dataclasses
+    W = H = 32
+    cam0 = T.look_at_camera((0, 0, -2.5), width=W, height=H)
+    target = _target_scene(jax.random.PRNGKey(11), cam0, n=20)
+    cam = dataclasses.replace(cam0, image=jnp.asarray(target))
+    rng = np.random.RandomState(5)
+    st = gm.create_from_points(rng.uniform(-0.8, 0.8, (32, 3)).astype(np.float32),
+                               rng.rand(32, 3).astype(np.float32),
+                               num_images=1, capacity=64)
+    opt_state = optim.init_adam(st.params)
+    cfg = OptimizationConfig(iterations=50, position_lr_max_steps=50,
+                             optimizer_type="sparse_adam")
+    fns = step_lib.make_train_step(cfg, PipelineConfig(backend="oracle"))
+    losses_seen = []
+    for it in range(1, 31):
+        st, opt_state, m = fns.step(st, opt_state, cam, jnp.asarray(it),
+                                    jax.random.fold_in(jax.random.PRNGKey(0), it),
+                                    jnp.zeros(3))
+        losses_seen.append(float(m["loss"]))
+    assert np.isfinite(losses_seen).all()
+    assert losses_seen[-1] < losses_seen[0]
