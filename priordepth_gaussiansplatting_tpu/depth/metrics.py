@@ -66,3 +66,30 @@ class RunningAverageDict:
 
     def get_value(self) -> dict:
         return {k: v / max(self._count, 1) for k, v in self._sums.items()}
+
+
+def evaluate_dataset(apply_fn, params, dataset, preset: dict,
+                     batch: int = 1, use_tta: bool = True,
+                     limit: int | None = None) -> dict:
+    """Run a depth model over an eval dataset with the preset's caps/crop
+    (the reference `BaseTrainer.validate` + compute_metrics loop)."""
+    import jax.numpy as jnp
+
+    from .infer import infer_with_tta
+
+    ra = RunningAverageDict()
+    n = len(dataset) if limit is None else min(limit, len(dataset))
+    for i in range(n):
+        s = dataset[i]
+        x = jnp.asarray(s.image)[None]
+        if use_tta:
+            pred = infer_with_tta(apply_fn, params, x)[0]
+        else:
+            pred = apply_fn(params, x)["metric_depth"][0]
+        ra.update(compute_metrics(
+            np.asarray(s.depth), np.asarray(pred),
+            min_depth_eval=preset.get("min_depth_eval", 1e-3),
+            max_depth_eval=preset.get("max_depth_eval", 10.0),
+            garg_crop=preset.get("garg_crop", False),
+            eigen_crop=preset.get("eigen_crop", False)))
+    return ra.get_value()
