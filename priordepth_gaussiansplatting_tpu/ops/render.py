@@ -58,15 +58,15 @@ def render(
             opacity=proj.opacity, rgb=proj.rgb, depth=proj.depth,
             invdepth=proj.invdepth, radius=proj.radius)
 
-    if backend in ("auto", "pallas"):
-        try:
-            from . import rasterize_pallas  # noqa: PLC0415
-            have_pallas = True
-        except Exception:
-            have_pallas = False
-        if backend == "pallas" and not have_pallas:
-            raise RuntimeError("Pallas rasterizer unavailable")
-    if backend == "pallas" or (backend == "auto" and have_pallas):
+    # Backend dispatch: 'auto' uses the Pallas kernels on TPU and the jnp
+    # oracle elsewhere (interpret-mode Pallas on CPU is only for parity
+    # tests — orders of magnitude slower than the oracle).
+    use_pallas = backend == "pallas"
+    if backend == "auto":
+        import jax  # noqa: PLC0415
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from . import rasterize_pallas  # noqa: PLC0415
         out = rasterize_pallas.rasterize(
             proj, bg_color, camera.width, camera.height)
     else:

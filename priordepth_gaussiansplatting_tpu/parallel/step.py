@@ -102,17 +102,16 @@ def _render_gathered(camera: Camera, state: GaussianState, bg, screen_offset,
     proj = dataclasses.replace(proj, mean2d=proj.mean2d + screen_offset)
     proj_full = jax.tree.map(
         lambda x: jax.lax.all_gather(x, axis_name, axis=0, tiled=True), proj)
-    if tile_shard_n > 1 and pipe_cfg.backend in ("pallas", "auto"):
+    use_pallas = pipe_cfg.backend == "pallas"
+    if pipe_cfg.backend == "auto":
+        use_pallas = jax.default_backend() == "tpu"
+    if tile_shard_n > 1 and use_pallas:
         out = _rasterize_tile_sharded(proj_full, bg, camera.width,
                                       camera.height, tile_shard_n,
                                       axis_name)
-    elif pipe_cfg.backend in ("pallas", "auto"):
-        try:
-            from ..ops import rasterize_pallas as rp  # noqa: PLC0415
-            out = rp.rasterize(proj_full, bg, camera.width, camera.height)
-        except Exception:
-            out = ref_ops.rasterize_reference(proj_full, bg, camera.width,
-                                              camera.height)
+    elif use_pallas:
+        from ..ops import rasterize_pallas as rp  # noqa: PLC0415
+        out = rp.rasterize(proj_full, bg, camera.width, camera.height)
     else:
         out = ref_ops.rasterize_reference(proj_full, bg, camera.width,
                                           camera.height)
