@@ -155,29 +155,38 @@ def _fwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, color_ref, invd_ref,
 
         dma(i, slot).wait()
         chunk = chunk_ref[slot]
-        a_eff, keep, _, _, _, _ = _chunk_alpha(chunk, px, py, astart,
-                                               start, end, i)
-        one_m = 1.0 - a_eff
-        # cumprod(one_m) = exp(cumsum(log one_m)); one_m >= 0.01 so the
-        # log is well-conditioned and the cumsum runs on the MXU.
-        log_om = jnp.log(one_m)
-        cls = _cumsum1(log_om)               # inclusive (PIX, K)
-        incl = R * jnp.exp(cls)
-        live = incl >= T_EPS
-        excl = incl / one_m
-        w = jnp.where(live, a_eff * excl, 0.0)
-        contract = (((1,), (1,)), ((), ()))
-        C = C + jax.lax.dot_general(
-            w, chunk[binning.ATTR_R:binning.ATTR_B + 1, :], contract,
-            preferred_element_type=jnp.float32)   # (PIX, 3)
-        D = D + jax.lax.dot_general(
-            w, chunk[binning.ATTR_ID:binning.ATTR_ID + 1, :], contract,
-            preferred_element_type=jnp.float32)   # (PIX, 1)
-        R = R * jnp.exp(cls[:, -1:])
-        # masked final transmittance: plain masked-log reduction.
-        Tm = Tm * jnp.exp(jnp.sum(jnp.where(live, log_om, 0.0),
-                                  axis=1, keepdims=True))
-        return R, Tm, C, D
+
+        def compute(carry):
+            R, Tm, C, D = carry
+            a_eff, keep, _, _, _, _ = _chunk_alpha(chunk, px, py, astart,
+                                                   start, end, i)
+            one_m = 1.0 - a_eff
+            # cumprod(one_m) = exp(cumsum(log one_m)); one_m >= 0.01 so the
+            # log is well-conditioned and the cumsum runs on the MXU.
+            log_om = jnp.log(one_m)
+            cls = _cumsum1(log_om)               # inclusive (PIX, K)
+            incl = R * jnp.exp(cls)
+            live = incl >= T_EPS
+            excl = incl / one_m
+            w = jnp.where(live, a_eff * excl, 0.0)
+            contract = (((1,), (1,)), ((), ()))
+            C = C + jax.lax.dot_general(
+                w, chunk[binning.ATTR_R:binning.ATTR_B + 1, :], contract,
+                preferred_element_type=jnp.float32)   # (PIX, 3)
+            D = D + jax.lax.dot_general(
+                w, chunk[binning.ATTR_ID:binning.ATTR_ID + 1, :], contract,
+                preferred_element_type=jnp.float32)   # (PIX, 1)
+            R = R * jnp.exp(cls[:, -1:])
+            # masked final transmittance: plain masked-log reduction.
+            Tm = Tm * jnp.exp(jnp.sum(jnp.where(live, log_om, 0.0),
+                                      axis=1, keepdims=True))
+            return R, Tm, C, D
+
+        # Early termination, compute-only: the DMA above stays
+        # unconditional (conditional DMAs are a hardware hazard); once every
+        # pixel is saturated the chunk's VPU/MXU work is skipped.
+        return jax.lax.cond(jnp.any(R >= T_EPS), compute, lambda c: c,
+                            (R, Tm, C, D))
 
     T0 = jnp.ones((PIX, 1), jnp.float32)
     C0 = jnp.zeros((PIX, 3), jnp.float32)
