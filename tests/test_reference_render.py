@@ -180,3 +180,37 @@ def test_gradients_match_finite_differences():
             ad = float(flat_g[idx])
             assert ad == pytest.approx(fd, rel=0.15, abs=1e-4), (
                 f"{name}[{idx}]: autodiff {ad} vs fd {fd}")
+
+
+def test_scaling_modifier_shrinks_splats():
+    from priordepth_gaussiansplatting_tpu.models import gaussians as gm
+    from priordepth_gaussiansplatting_tpu.ops.render import render as render_api
+    rng = np.random.RandomState(0)
+    st = gm.create_from_points(rng.randn(16, 3).astype(np.float32) * 0.3,
+                               rng.rand(16, 3).astype(np.float32),
+                               num_images=1, capacity=32)
+    cam = T.look_at_camera((0, 0, -2.5), width=32, height=32)
+    full = render_api(cam, st, jnp.zeros(3), backend="oracle",
+                      scaling_modifier=1.0)
+    tiny = render_api(cam, st, jnp.zeros(3), backend="oracle",
+                      scaling_modifier=0.1)
+    # Shrinking covariances reduces covered pixels/energy.
+    assert float(tiny["render"].sum()) < float(full["render"].sum())
+    assert int((tiny["radii"] > 0).sum()) <= int((full["radii"] > 0).sum())
+
+
+def test_override_color_bypasses_sh():
+    from priordepth_gaussiansplatting_tpu.models import gaussians as gm
+    from priordepth_gaussiansplatting_tpu.ops.render import render as render_api
+    rng = np.random.RandomState(1)
+    st = gm.create_from_points(rng.randn(8, 3).astype(np.float32) * 0.2,
+                               rng.rand(8, 3).astype(np.float32),
+                               num_images=1, capacity=16)
+    cam = T.look_at_camera((0, 0, -2.0), width=32, height=32)
+    colors = jnp.zeros((16, 3)).at[:, 1].set(1.0)  # pure green
+    out = render_api(cam, st, jnp.zeros(3), backend="oracle",
+                     override_color=colors)
+    img = np.asarray(out["render"])
+    assert img[1].max() > 0.1        # green present
+    assert img[0].max() == 0.0       # no red
+    assert img[2].max() == 0.0
