@@ -43,6 +43,12 @@ from .projection import TILE, ProjectedGaussians, tile_rect
 # per row, i.e. image widths up to 256*16 = 4096 px.
 RECT_PACK = 256
 
+# Above this pair capacity, pair expansion switches from cumulative-scan
+# form to binary-search + gather form (XLA TPU compile time for big 1D
+# cumulative ops grows superlinearly; ~2M compiles in ~1min, 8M does not
+# finish in 50).
+SCAN_PAIR_LIMIT = 2 ** 21
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -95,26 +101,45 @@ def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
     offsets = jnp.cumsum(counts) - counts  # exclusive
     total = jnp.sum(counts)
 
-    # 2. segment-start scatters (drop zero-count and over-capacity rows).
-    ids = jnp.arange(n, dtype=jnp.int32)
-    pos = jnp.where((counts > 0) & (offsets < p), offsets, p)
+    # 2. per-pair (gaussian id, rank, rect) WITHOUT pair-sized gathers OR
+    # pair-sized cumulative scans — XLA TPU compile time for cumulative ops
+    # explodes superlinearly somewhere past ~2M elements, so two
+    # implementations exist:
+    #   scan path  (p small): segment-start scatters + cummax / hold-last;
+    #   gather path (p big):  gid via vectorised binary search over the
+    #                         offsets table, then two (p,)-from-(n,) gathers.
     base = ymin * grid_x + xmin
     pack = base * RECT_PACK + jnp.minimum(nx, RECT_PACK - 1)
-
-    seg_off = jnp.zeros((p,), jnp.int32).at[pos].set(offsets, mode="drop")
-    seg_gid = jnp.zeros((p,), jnp.int32).at[pos].set(ids, mode="drop")
-    seg_pack = jnp.full((p,), -1, jnp.int32).at[pos].set(pack, mode="drop")
-
-    base_pos = jax.lax.cummax(seg_off)
-    gid = jax.lax.cummax(seg_gid)
-    pack_pair = _hold_last(seg_pack)
-
     pair_pos = jnp.arange(p, dtype=jnp.int32)
-    rank = pair_pos - base_pos
+    if p <= SCAN_PAIR_LIMIT:
+        ids = jnp.arange(n, dtype=jnp.int32)
+        pos = jnp.where((counts > 0) & (offsets < p), offsets, p)
+        seg_off = jnp.zeros((p,), jnp.int32).at[pos].set(offsets,
+                                                         mode="drop")
+        seg_gid = jnp.zeros((p,), jnp.int32).at[pos].set(ids, mode="drop")
+        seg_pack = jnp.full((p,), -1, jnp.int32).at[pos].set(pack,
+                                                             mode="drop")
+        base_pos = jax.lax.cummax(seg_off)
+        gid = jax.lax.cummax(seg_gid)
+        pack_pair = _hold_last(seg_pack)
+        rank = pair_pos - base_pos
+        have_rect = pack_pair >= 0
+    else:
+        # gid = index of the segment containing each pair position: the
+        # rightmost gaussian with offset <= pos (zero-count gaussians share
+        # offsets; side='right' − 1 lands on the LAST such row, whose rect
+        # is the one that owns the following pairs).
+        gid = jnp.clip(
+            jnp.searchsorted(offsets, pair_pos, side="right") - 1, 0, n - 1
+        ).astype(jnp.int32)
+        base_pos = offsets[gid]
+        pack_pair = pack[gid]
+        rank = pair_pos - base_pos
+        have_rect = counts[gid] > 0
     rect_base = pack_pair // RECT_PACK
     rect_nx = jnp.maximum(pack_pair % RECT_PACK, 1)
     tile = rect_base + (rank // rect_nx) * grid_x + rank % rect_nx
-    valid = (pair_pos < jnp.minimum(total, p)) & (pack_pair >= 0)
+    valid = (pair_pos < jnp.minimum(total, p)) & have_rect
     tile_ids = jnp.where(valid, tile, num_tiles).astype(jnp.int32)
 
     # 3. single stable tile-key sort (depth order preserved within tiles).

@@ -162,3 +162,24 @@ def test_pair_overflow_is_reported():
                        interpret=True)
     # huge splats cover many tiles; just check the counter is consistent
     assert int(out["overflow"]) >= 0
+
+
+def test_binning_gather_path_matches_scan_path(monkeypatch):
+    """The big-capacity pair expansion (binary search + gathers) must produce
+    exactly the scan-path binning."""
+    key = jax.random.PRNGKey(9)
+    W = H = 64
+    cam = T.look_at_camera((0, 0, -2.5), width=W, height=H)
+    proj = _project(T.random_gaussians(key, 96), cam)
+    a = binning.bin_gaussians(proj, W, H, pair_capacity=4096)
+    monkeypatch.setattr(binning, "SCAN_PAIR_LIMIT", 0)
+    binning.bin_gaussians.clear_cache()
+    b = binning.bin_gaussians(proj, W, H, pair_capacity=4096)
+    monkeypatch.undo()
+    binning.bin_gaussians.clear_cache()
+    for field in ("depth_order", "gauss_ids", "tile_ids", "tile_start",
+                  "tile_end"):
+        np.testing.assert_array_equal(np.asarray(getattr(a, field)),
+                                      np.asarray(getattr(b, field)),
+                                      err_msg=field)
+    assert int(a.num_pairs) == int(b.num_pairs)
