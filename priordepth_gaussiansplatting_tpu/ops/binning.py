@@ -111,30 +111,23 @@ def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
     base = ymin * grid_x + xmin
     pack = base * RECT_PACK + jnp.minimum(nx, RECT_PACK - 1)
     pair_pos = jnp.arange(p, dtype=jnp.int32)
+    ids = jnp.arange(n, dtype=jnp.int32)
+    pos = jnp.where((counts > 0) & (offsets < p), offsets, p)
+    seg_off = jnp.zeros((p,), jnp.int32).at[pos].set(offsets, mode="drop")
+    seg_gid = jnp.zeros((p,), jnp.int32).at[pos].set(ids, mode="drop")
+    base_pos = jax.lax.cummax(seg_off)
+    gid = jax.lax.cummax(seg_gid)
+    rank = pair_pos - base_pos
     if p <= SCAN_PAIR_LIMIT:
-        ids = jnp.arange(n, dtype=jnp.int32)
-        pos = jnp.where((counts > 0) & (offsets < p), offsets, p)
-        seg_off = jnp.zeros((p,), jnp.int32).at[pos].set(offsets,
-                                                         mode="drop")
-        seg_gid = jnp.zeros((p,), jnp.int32).at[pos].set(ids, mode="drop")
         seg_pack = jnp.full((p,), -1, jnp.int32).at[pos].set(pack,
                                                              mode="drop")
-        base_pos = jax.lax.cummax(seg_off)
-        gid = jax.lax.cummax(seg_gid)
         pack_pair = _hold_last(seg_pack)
-        rank = pair_pos - base_pos
         have_rect = pack_pair >= 0
     else:
-        # gid = index of the segment containing each pair position: the
-        # rightmost gaussian with offset <= pos (zero-count gaussians share
-        # offsets; side='right' − 1 lands on the LAST such row, whose rect
-        # is the one that owns the following pairs).
-        gid = jnp.clip(
-            jnp.searchsorted(offsets, pair_pos, side="right") - 1, 0, n - 1
-        ).astype(jnp.int32)
-        base_pos = offsets[gid]
+        # associative_scan's TPU compile time explodes at this size (the
+        # only op here that does — cummax is fine); fetch the rect pack
+        # with one (p,)-from-(n,) gather instead.
         pack_pair = pack[gid]
-        rank = pair_pos - base_pos
         have_rect = counts[gid] > 0
     rect_base = pack_pair // RECT_PACK
     rect_nx = jnp.maximum(pack_pair % RECT_PACK, 1)
