@@ -64,6 +64,9 @@ class TileBinning:
     tile_ids: jnp.ndarray     # (P,) int32 — tile index per sorted pair
     tile_start: jnp.ndarray   # (num_tiles,) int32
     tile_end: jnp.ndarray     # (num_tiles,) int32
+    inv_perm: jnp.ndarray     # (P,) int32 — sorted slot of each depth-order pair
+    seg_offsets: jnp.ndarray  # (N,) int32 — first pair of each gaussian
+    seg_counts: jnp.ndarray   # (N,) int32 — pairs per gaussian
     num_pairs: jnp.ndarray    # () int32 — valid pairs (≤ P)
     overflow: jnp.ndarray     # () int32 — pairs dropped for capacity
 
@@ -136,8 +139,13 @@ def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
     tile_ids = jnp.where(valid, tile, num_tiles).astype(jnp.int32)
 
     # 3. single stable tile-key sort (depth order preserved within tiles).
-    tile_sorted, gid_sorted = jax.lax.sort(
-        (tile_ids, gid), dimension=0, is_stable=True, num_keys=1)
+    # The iota payload records each sorted slot's source pair; sorting THAT
+    # permutation back yields the inverse permutation (sorted-slot per
+    # depth-order pair) — needed by the gather-VJP-free gradient reduction.
+    tile_sorted, gid_sorted, perm = jax.lax.sort(
+        (tile_ids, gid, pair_pos), dimension=0, is_stable=True, num_keys=1)
+    _, inv_perm = jax.lax.sort((perm, pair_pos), dimension=0,
+                               is_stable=False, num_keys=1)
 
     # 4. per-tile ranges.
     tiles = jnp.arange(num_tiles, dtype=jnp.int32)
@@ -151,6 +159,9 @@ def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
         tile_ids=tile_sorted,
         tile_start=tile_start,
         tile_end=tile_end,
+        inv_perm=inv_perm,
+        seg_offsets=offsets,
+        seg_counts=counts,
         num_pairs=jnp.minimum(total, p).astype(jnp.int32),
         overflow=jnp.maximum(total - p, 0).astype(jnp.int32),
     )
@@ -190,3 +201,36 @@ def unpack_attr_grads(d_attrs: jnp.ndarray) -> ProjectedGaussians:
         invdepth=d_attrs[ATTR_ID],
         radius=jnp.zeros(d_attrs.shape[1], dtype=jnp.int32),
     )
+
+
+@jax.custom_vjp
+def gather_pairs(attrs: jnp.ndarray, binned: TileBinning) -> jnp.ndarray:
+    """(ROWS, N) depth-ordered attrs -> (ROWS, P) tile-sorted pair attrs.
+
+    The VJP avoids XLA's scatter-add (the slowest op in the backward at
+    multi-million pair counts): pair cotangents are inverse-permuted back to
+    depth order, where each Gaussian's pairs are CONTIGUOUS, so the
+    reduction is an exclusive-cumsum difference at segment boundaries —
+    gathers and one 2D cumsum instead of an 8M-row scatter.
+    """
+    return attrs[:, binned.gauss_ids]
+
+
+def _gather_pairs_fwd(attrs, binned):
+    return attrs[:, binned.gauss_ids], (attrs.shape[1], binned)
+
+
+def _gather_pairs_bwd(res, d_sorted):
+    n, binned = res
+    d_pairs = d_sorted[:, binned.inv_perm]          # depth-order pairs
+    cum = jnp.cumsum(d_pairs, axis=1)               # inclusive (ROWS, P)
+    zero = jnp.zeros((d_sorted.shape[0], 1), d_sorted.dtype)
+    cum = jnp.concatenate([zero, cum], axis=1)      # exclusive at [i]
+    p = d_pairs.shape[1]
+    lo = jnp.clip(binned.seg_offsets, 0, p)
+    hi = jnp.clip(binned.seg_offsets + binned.seg_counts, 0, p)
+    d_attrs = cum[:, hi] - cum[:, lo]               # (ROWS, N)
+    return d_attrs, None
+
+
+gather_pairs.defvjp(_gather_pairs_fwd, _gather_pairs_bwd)

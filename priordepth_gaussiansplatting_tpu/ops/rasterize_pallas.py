@@ -456,7 +456,7 @@ def rasterize(proj: ProjectedGaussians, bg: jnp.ndarray,
     # pair->Gaussian scatter-add reduction).
     proj_sorted = jax.tree.map(lambda x: x[binned.depth_order], proj)
     attrs = binning.pack_attributes(proj_sorted)   # (NROW, N) depth-ordered
-    sorted_attrs = attrs[:, binned.gauss_ids]      # (NROW, P)
+    sorted_attrs = binning.gather_pairs(attrs, binned)  # (NROW, P)
     # Mask padding pairs so junk never reaches the kernel or the VJP.
     pair_valid = (jnp.arange(pair_capacity) < binned.num_pairs)[None, :]
     sorted_attrs = jnp.where(pair_valid, sorted_attrs, 0.0)
@@ -479,8 +479,12 @@ def rasterize(proj: ProjectedGaussians, bg: jnp.ndarray,
 
 
 def default_pair_capacity(n: int) -> int:
-    """Static pair-list capacity: ~8 tiles/Gaussian, power-of-two padded."""
-    return int(max(2 ** int(np.ceil(np.log2(max(n * 8, 4096)))), 4096))
+    """Static pair-list capacity: ~4 tiles/Gaussian, power-of-two padded.
+
+    Trained scenes average ~2-5 covered tiles per Gaussian; overflow is
+    counted and surfaced so callers can re-render with a larger explicit
+    capacity when a scene exceeds it."""
+    return int(max(2 ** int(np.ceil(np.log2(max(n * 4, 4096)))), 4096))
 
 
 def composite_bands(sorted_attrs_padded: jnp.ndarray, tile_ids: jnp.ndarray,

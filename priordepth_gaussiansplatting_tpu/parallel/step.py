@@ -53,7 +53,7 @@ def _rasterize_tile_sharded(proj_full, bg, width: int, height: int,
                                        pair_capacity)
     proj_sorted = jax.tree.map(lambda x: x[binned.depth_order], proj_full)
     attrs = binning_lib.pack_attributes(proj_sorted)
-    sorted_attrs = attrs[:, binned.gauss_ids]
+    sorted_attrs = binning_lib.gather_pairs(attrs, binned)
     pair_valid = (jnp.arange(pair_capacity) < binned.num_pairs)[None, :]
     sorted_attrs = jnp.where(pair_valid, sorted_attrs, 0.0)
     sorted_attrs = jnp.pad(sorted_attrs,
