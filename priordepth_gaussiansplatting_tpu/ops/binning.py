@@ -60,6 +60,7 @@ class TileBinning:
     `depth_order` for original indices)."""
 
     depth_order: jnp.ndarray  # (N,) int32
+    depth_inv: jnp.ndarray    # (N,) int32 — inverse of depth_order
     gauss_ids: jnp.ndarray    # (P,) int32 — depth-space Gaussian per pair
     tile_ids: jnp.ndarray     # (P,) int32 — tile index per sorted pair
     tile_start: jnp.ndarray   # (num_tiles,) int32
@@ -95,6 +96,9 @@ def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
 
     # 1. depth order (culled Gaussians carry depth=inf → sort last).
     order = jnp.argsort(proj.depth).astype(jnp.int32)
+    ids_n = jnp.arange(order.shape[0], dtype=jnp.int32)
+    _, order_inv = jax.lax.sort((order, ids_n), dimension=0,
+                                is_stable=False, num_keys=1)
     mean2d = proj.mean2d[order]
     radius = proj.radius[order]
 
@@ -155,6 +159,7 @@ def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
                                 side="right").astype(jnp.int32)
     return TileBinning(
         depth_order=order,
+        depth_inv=order_inv,
         gauss_ids=gid_sorted,
         tile_ids=tile_sorted,
         tile_start=tile_start,
@@ -234,3 +239,26 @@ def _gather_pairs_bwd(res, d_sorted):
 
 
 gather_pairs.defvjp(_gather_pairs_fwd, _gather_pairs_bwd)
+
+
+@jax.custom_vjp
+def permute_rows(x: jnp.ndarray, perm: jnp.ndarray,
+                 inv_perm: jnp.ndarray) -> jnp.ndarray:
+    """x[perm] along axis 0 with a gather-only VJP.
+
+    The transpose of a permutation gather is a permutation scatter, which
+    XLA executes poorly at scale; with the inverse permutation precomputed
+    (one integer sort in the binning), the cotangent is just ct[inv_perm].
+    """
+    return x[perm]
+
+
+def _permute_rows_fwd(x, perm, inv_perm):
+    return x[perm], inv_perm
+
+
+def _permute_rows_bwd(inv_perm, ct):
+    return ct[inv_perm], None, None
+
+
+permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)

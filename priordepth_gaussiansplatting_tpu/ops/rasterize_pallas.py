@@ -454,7 +454,9 @@ def rasterize(proj: ProjectedGaussians, bg: jnp.ndarray,
     # Reorder Gaussians front-to-back (differentiable N-gather), then gather
     # pair attributes in depth space (differentiable P-gather; its VJP is the
     # pair->Gaussian scatter-add reduction).
-    proj_sorted = jax.tree.map(lambda x: x[binned.depth_order], proj)
+    proj_sorted = jax.tree.map(
+        lambda x: binning.permute_rows(x, binned.depth_order,
+                                       binned.depth_inv), proj)
     attrs = binning.pack_attributes(proj_sorted)   # (NROW, N) depth-ordered
     sorted_attrs = binning.gather_pairs(attrs, binned)  # (NROW, P)
     # Mask padding pairs so junk never reaches the kernel or the VJP.

@@ -51,7 +51,10 @@ def _rasterize_tile_sharded(proj_full, bg, width: int, height: int,
     pair_capacity = rp.default_pair_capacity(n)
     binned = binning_lib.bin_gaussians(proj_full, width, height,
                                        pair_capacity)
-    proj_sorted = jax.tree.map(lambda x: x[binned.depth_order], proj_full)
+    proj_sorted = jax.tree.map(
+        lambda x: binning_lib.permute_rows(x, binned.depth_order,
+                                           binned.depth_inv),
+        proj_full)
     attrs = binning_lib.pack_attributes(proj_sorted)
     sorted_attrs = binning_lib.gather_pairs(attrs, binned)
     pair_valid = (jnp.arange(pair_capacity) < binned.num_pairs)[None, :]
