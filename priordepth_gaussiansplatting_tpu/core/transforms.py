@@ -47,8 +47,18 @@ def scaling_rotation_to_cov3d(scale: jnp.ndarray, quat: jnp.ndarray) -> jnp.ndar
     :func:`strip_symmetric` for the packed 6-vector the rasterizer consumes.
     """
     R = quat_to_rotmat(normalize_quat(quat))
-    L = R * scale[..., None, :]  # R @ diag(s)
-    return L @ jnp.swapaxes(L, -1, -2)
+    # Σ_ij = Σ_k s_k² R_ik R_jk expanded elementwise (batched 3x3 matmuls
+    # lower poorly on TPU).
+    s2 = scale * scale  # (..., 3)
+    rows = [R[..., 0, :], R[..., 1, :], R[..., 2, :]]
+
+    def entry(i, j):
+        return jnp.sum(s2 * rows[i] * rows[j], axis=-1)
+
+    row0 = jnp.stack([entry(0, 0), entry(0, 1), entry(0, 2)], axis=-1)
+    row1 = jnp.stack([entry(0, 1), entry(1, 1), entry(1, 2)], axis=-1)
+    row2 = jnp.stack([entry(0, 2), entry(1, 2), entry(2, 2)], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
 
 
 def strip_symmetric(cov: jnp.ndarray) -> jnp.ndarray:

@@ -80,12 +80,6 @@ def grid_shape(width: int, height: int) -> tuple[int, int]:
     return (-(-width // TILE), -(-height // TILE))
 
 
-def _hold_last(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive 'last set value' scan; unset entries are -1."""
-    return jax.lax.associative_scan(
-        lambda a, b: jnp.where(b >= 0, b, a), x)
-
-
 @partial(jax.jit, static_argnames=("width", "height", "pair_capacity"))
 def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
                   pair_capacity: int) -> TileBinning:
@@ -125,17 +119,28 @@ def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
     base_pos = jax.lax.cummax(seg_off)
     gid = jax.lax.cummax(seg_gid)
     rank = pair_pos - base_pos
-    if p <= SCAN_PAIR_LIMIT:
-        seg_pack = jnp.full((p,), -1, jnp.int32).at[pos].set(pack,
-                                                             mode="drop")
-        pack_pair = _hold_last(seg_pack)
-        have_rect = pack_pair >= 0
+    # Rect pack per pair via gid-keyed cummax (hold-last of a value that is
+    # constant within each segment == cummax of a gid-monotone composite
+    # key). pack needs ~21 bits, gid up to 2^20 — split pack across two
+    # 31-bit-safe keys: key_lo = gid*2^11 + pack_lo, key_hi = gid*2^10 +
+    # pack_hi. Replaces both the associative_scan (whose TPU compile
+    # explodes past ~2M) and the pair-from-gaussian gather (~40ms at 4M).
+    if n <= (1 << 20):
+        pack_lo = pack & 0x7FF          # 11 bits
+        pack_hi = pack >> 11            # ≤ 10 bits for ≤4096px grids
+        key_lo = ids * 2048 + pack_lo   # gid ≤ 2^20 keeps this in int32
+        key_hi = ids * 1024 + pack_hi
+        seg_lo = jnp.zeros((p,), jnp.int32).at[pos].set(key_lo, mode="drop")
+        seg_hi = jnp.zeros((p,), jnp.int32).at[pos].set(key_hi, mode="drop")
+        lo_pair = jax.lax.cummax(seg_lo) - gid * 2048
+        hi_pair = jax.lax.cummax(seg_hi) - gid * 1024
+        pack_pair = (hi_pair << 11) | lo_pair
     else:
-        # associative_scan's TPU compile time explodes at this size (the
-        # only op here that does — cummax is fine); fetch the rect pack
-        # with one (p,)-from-(n,) gather instead.
+        # gid too large for the int32 composite key: one pair-from-gaussian
+        # gather instead (associative_scan is not an option at scale).
         pack_pair = pack[gid]
-        have_rect = counts[gid] > 0
+    seg_has = jnp.zeros((p,), jnp.int32).at[pos].set(1, mode="drop")
+    have_rect = jax.lax.cummax(seg_has) > 0
     rect_base = pack_pair // RECT_PACK
     rect_nx = jnp.maximum(pack_pair % RECT_PACK, 1)
     tile = rect_base + (rank // rect_nx) * grid_x + rank % rect_nx

@@ -69,17 +69,35 @@ def compute_cov2d(mean3d, cov3d, viewmatrix, focal_x, focal_y,
     tyz = jnp.clip(t[:, 1] / tz, -limy, limy) * tz
     inv_z = 1.0 / tz
     inv_z2 = inv_z * inv_z
-    zero = jnp.zeros_like(tz)
-    # J: (N, 2, 3) — only the two projected rows matter.
-    J = jnp.stack(
-        [
-            jnp.stack([focal_x * inv_z, zero, -focal_x * txz * inv_z2], axis=-1),
-            jnp.stack([zero, focal_y * inv_z, -focal_y * tyz * inv_z2], axis=-1),
-        ],
-        axis=-2,
-    )
-    JW = J @ W  # (N, 2, 3)
-    cov2d = JW @ cov3d @ jnp.swapaxes(JW, -1, -2)
+    # J rows (N, 3) expanded elementwise — batched (N,2,3)@(N,3,3) tiny
+    # matmuls lower poorly on TPU; everything below is pure VPU columns.
+    j0 = jnp.stack([focal_x * inv_z, jnp.zeros_like(tz),
+                    -focal_x * txz * inv_z2], axis=-1)
+    j1 = jnp.stack([jnp.zeros_like(tz), focal_y * inv_z,
+                    -focal_y * tyz * inv_z2], axis=-1)
+    t0 = j0 @ W  # (N, 3) — W is a constant 3x3: a real MXU-friendly matmul
+    t1 = j1 @ W
+    # cov2d_ab = t_a · Σ · t_b expanded over the 6 unique Σ entries.
+    s00 = cov3d[:, 0, 0]
+    s01 = cov3d[:, 0, 1]
+    s02 = cov3d[:, 0, 2]
+    s11 = cov3d[:, 1, 1]
+    s12 = cov3d[:, 1, 2]
+    s22 = cov3d[:, 2, 2]
+
+    def quad(a, b):
+        return (a[:, 0] * b[:, 0] * s00 + a[:, 1] * b[:, 1] * s11
+                + a[:, 2] * b[:, 2] * s22
+                + (a[:, 0] * b[:, 1] + a[:, 1] * b[:, 0]) * s01
+                + (a[:, 0] * b[:, 2] + a[:, 2] * b[:, 0]) * s02
+                + (a[:, 1] * b[:, 2] + a[:, 2] * b[:, 1]) * s12)
+
+    c00 = quad(t0, t0)
+    c01 = quad(t0, t1)
+    c11 = quad(t1, t1)
+    cov2d = jnp.stack(
+        [jnp.stack([c00, c01], axis=-1), jnp.stack([c01, c11], axis=-1)],
+        axis=-2)
     return cov2d, t
 
 
