@@ -156,12 +156,13 @@ def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
     _, inv_perm = jax.lax.sort((perm, pair_pos), dimension=0,
                                is_stable=False, num_keys=1)
 
-    # 4. per-tile ranges.
-    tiles = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(tile_sorted, tiles,
-                                  side="left").astype(jnp.int32)
-    tile_end = jnp.searchsorted(tile_sorted, tiles,
-                                side="right").astype(jnp.int32)
+    # 4. per-tile ranges: ends are the next tile's start (ranges partition
+    # the sorted pair list), so ONE searchsorted over num_tiles+1 queries.
+    tiles = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(tile_sorted, tiles,
+                              side="left").astype(jnp.int32)
+    tile_start = bounds[:-1]
+    tile_end = bounds[1:]
     return TileBinning(
         depth_order=order,
         depth_inv=order_inv,
