@@ -82,13 +82,26 @@ def main():
                                 scale_range=(0.001, 0.004))
     target = jax.random.uniform(jax.random.PRNGKey(1), (3, HEIGHT, WIDTH))
 
-    def loss_fn(p):
+    def project(p):
         cov3d = transforms.scaling_rotation_to_cov3d(p["scales"], p["quats"])
-        proj = proj_ops.project_gaussians(
+        return proj_ops.project_gaussians(
             p["means"], cov3d, p["opacities"], p["sh"], 3,
             cam.world_view, cam.full_proj, cam.cam_center,
             WIDTH, HEIGHT, cam.tan_fovx, cam.tan_fovy, antialiasing=True)
-        out = rp.rasterize(proj, jnp.zeros(3), WIDTH, HEIGHT)
+
+    # Adaptive pair capacity, as the trainer maintains it at steady state
+    # (Trainer._adapt_pair_capacity): one probe binning measures the scene's
+    # real (Gaussian, tile) pair count; the camera is fixed here, so a thin
+    # 1.1× headroom suffices (the CUDA reference allocates exactly).
+    from priordepth_gaussiansplatting_tpu.ops import binning
+    probe_cap = rp.default_pair_capacity(N_GAUSS)
+    probe = jax.jit(lambda p: binning.bin_gaussians(
+        project(p), WIDTH, HEIGHT, probe_cap).num_pairs)(params)
+    p_cap = rp.round_capacity(int(int(probe) * 1.1))
+
+    def loss_fn(p):
+        out = rp.rasterize(project(p), jnp.zeros(3), WIDTH, HEIGHT,
+                           pair_capacity=p_cap)
         return (jnp.mean((out["render"] - target) ** 2)
                 + 0.01 * jnp.mean(out["invdepth"]))
 

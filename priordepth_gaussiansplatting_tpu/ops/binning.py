@@ -65,7 +65,7 @@ class TileBinning:
     tile_ids: jnp.ndarray     # (P,) int32 — tile index per sorted pair
     tile_start: jnp.ndarray   # (num_tiles,) int32
     tile_end: jnp.ndarray     # (num_tiles,) int32
-    inv_perm: jnp.ndarray     # (P,) int32 — sorted slot of each depth-order pair
+    perm: jnp.ndarray         # (P,) int32 — depth-order pair of each sorted slot
     seg_offsets: jnp.ndarray  # (N,) int32 — first pair of each gaussian
     seg_counts: jnp.ndarray   # (N,) int32 — pairs per gaussian
     num_pairs: jnp.ndarray    # () int32 — valid pairs (≤ P)
@@ -93,12 +93,20 @@ def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
     ids_n = jnp.arange(order.shape[0], dtype=jnp.int32)
     _, order_inv = jax.lax.sort((order, ids_n), dimension=0,
                                 is_stable=False, num_keys=1)
-    mean2d = proj.mean2d[order]
-    radius = proj.radius[order]
 
-    xmin, ymin, xmax, ymax = tile_rect(mean2d, radius, width, height)
-    nx = (xmax - xmin).astype(jnp.int32)
-    counts = nx * (ymax - ymin).astype(jnp.int32)
+    # Rect geometry in ORIGINAL order, then ONE (2, N) lane-axis permute.
+    # Gathers along a small minor dim ((N,2) mean2d rows) lower to scalar
+    # row copies on TPU (~7x the cost of a lane gather of the same bytes);
+    # packing the per-Gaussian ints as lanes avoids that entirely.
+    xmin_u, ymin_u, xmax_u, ymax_u = tile_rect(proj.mean2d, proj.radius,
+                                               width, height)
+    nx_u = (xmax_u - xmin_u).astype(jnp.int32)
+    counts_u = nx_u * (ymax_u - ymin_u).astype(jnp.int32)
+    base_u = ymin_u * grid_x + xmin_u
+    pack_u = base_u * RECT_PACK + jnp.minimum(nx_u, RECT_PACK - 1)
+    packed_s = jnp.stack([pack_u, counts_u])[:, order]
+    pack = packed_s[0]
+    counts = packed_s[1]
     offsets = jnp.cumsum(counts) - counts  # exclusive
     total = jnp.sum(counts)
 
@@ -109,8 +117,6 @@ def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
     #   scan path  (p small): segment-start scatters + cummax / hold-last;
     #   gather path (p big):  gid via vectorised binary search over the
     #                         offsets table, then two (p,)-from-(n,) gathers.
-    base = ymin * grid_x + xmin
-    pack = base * RECT_PACK + jnp.minimum(nx, RECT_PACK - 1)
     pair_pos = jnp.arange(p, dtype=jnp.int32)
     ids = jnp.arange(n, dtype=jnp.int32)
     pos = jnp.where((counts > 0) & (offsets < p), offsets, p)
@@ -148,13 +154,13 @@ def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
     tile_ids = jnp.where(valid, tile, num_tiles).astype(jnp.int32)
 
     # 3. single stable tile-key sort (depth order preserved within tiles).
-    # The iota payload records each sorted slot's source pair; sorting THAT
-    # permutation back yields the inverse permutation (sorted-slot per
-    # depth-order pair) — needed by the gather-VJP-free gradient reduction.
+    # The iota payload records each sorted slot's source pair in depth-pair
+    # space — the gradient reduction sorts pair cotangents BACK to depth
+    # order with it (a payload sort beats the inverse-permutation gather
+    # ~2x at multi-million pair counts, and the second sort that used to
+    # build the inverse permutation disappears entirely).
     tile_sorted, gid_sorted, perm = jax.lax.sort(
         (tile_ids, gid, pair_pos), dimension=0, is_stable=True, num_keys=1)
-    _, inv_perm = jax.lax.sort((perm, pair_pos), dimension=0,
-                               is_stable=False, num_keys=1)
 
     # 4. per-tile ranges: ends are the next tile's start (ranges partition
     # the sorted pair list), so ONE searchsorted over num_tiles+1 queries.
@@ -170,7 +176,7 @@ def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
         tile_ids=tile_sorted,
         tile_start=tile_start,
         tile_end=tile_end,
-        inv_perm=inv_perm,
+        perm=perm,
         seg_offsets=offsets,
         seg_counts=counts,
         num_pairs=jnp.minimum(total, p).astype(jnp.int32),
@@ -218,11 +224,15 @@ def unpack_attr_grads(d_attrs: jnp.ndarray) -> ProjectedGaussians:
 def gather_pairs(attrs: jnp.ndarray, binned: TileBinning) -> jnp.ndarray:
     """(ROWS, N) depth-ordered attrs -> (ROWS, P) tile-sorted pair attrs.
 
-    The VJP avoids XLA's scatter-add (the slowest op in the backward at
-    multi-million pair counts): pair cotangents are inverse-permuted back to
-    depth order, where each Gaussian's pairs are CONTIGUOUS, so the
-    reduction is an exclusive-cumsum difference at segment boundaries —
-    gathers and one 2D cumsum instead of an 8M-row scatter.
+    The VJP avoids both XLA's scatter-add AND the inverse-permutation
+    gather (the two slowest candidates at multi-million pair counts,
+    ~2.5x and ~1.4x slower respectively on TPU): pair cotangents are
+    sorted back to depth-pair order with `perm` as the key, carrying the
+    attribute rows as sort payloads — TPU's sort moves payload lanes in
+    vector units where a random-index gather degrades to element access.
+    In depth order each Gaussian's pairs are CONTIGUOUS, so the reduction
+    is an exclusive-cumsum difference at the N+1 segment boundaries (one
+    lane gather).
     """
     return attrs[:, binned.gauss_ids]
 
@@ -233,18 +243,49 @@ def _gather_pairs_fwd(attrs, binned):
 
 def _gather_pairs_bwd(res, d_sorted):
     n, binned = res
-    d_pairs = d_sorted[:, binned.inv_perm]          # depth-order pairs
+    p = d_sorted.shape[1]
+    sorted_back = jax.lax.sort(
+        (binned.perm,) + tuple(d_sorted), dimension=0, is_stable=False,
+        num_keys=1)
+    d_pairs = jnp.stack(sorted_back[1:], axis=0)    # depth-order pairs
     cum = jnp.cumsum(d_pairs, axis=1)               # inclusive (ROWS, P)
     zero = jnp.zeros((d_sorted.shape[0], 1), d_sorted.dtype)
     cum = jnp.concatenate([zero, cum], axis=1)      # exclusive at [i]
-    p = d_pairs.shape[1]
-    lo = jnp.clip(binned.seg_offsets, 0, p)
-    hi = jnp.clip(binned.seg_offsets + binned.seg_counts, 0, p)
-    d_attrs = cum[:, hi] - cum[:, lo]               # (ROWS, N)
+    # Segment boundaries: offsets are gap-free exclusive starts, so
+    # hi[g] == bounds[g+1] — one (ROWS, N+1) gather instead of two.
+    bounds = jnp.clip(
+        jnp.concatenate([binned.seg_offsets,
+                         (binned.seg_offsets[-1:]
+                          + binned.seg_counts[-1:])]), 0, p)
+    cumb = cum[:, bounds]
+    d_attrs = cumb[:, 1:] - cumb[:, :-1]            # (ROWS, N)
     return d_attrs, None
 
 
 gather_pairs.defvjp(_gather_pairs_fwd, _gather_pairs_bwd)
+
+
+@jax.custom_vjp
+def permute_lanes(x: jnp.ndarray, order: jnp.ndarray,
+                  order_inv: jnp.ndarray) -> jnp.ndarray:
+    """x[:, order] (lane-axis permutation) with a gather-only VJP.
+
+    Lane-axis gathers of a (ROWS, N) array vectorise on TPU; the same
+    permutation applied per-field to (N, c) arrays with tiny minor dims
+    (c=1..3) lowers to scalar row copies ~7x slower — so pack rows first,
+    then permute once here."""
+    return x[:, order]
+
+
+def _permute_lanes_fwd(x, order, order_inv):
+    return x[:, order], order_inv
+
+
+def _permute_lanes_bwd(order_inv, ct):
+    return ct[:, order_inv], None, None
+
+
+permute_lanes.defvjp(_permute_lanes_fwd, _permute_lanes_bwd)
 
 
 @jax.custom_vjp

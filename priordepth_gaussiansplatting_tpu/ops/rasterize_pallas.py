@@ -200,7 +200,19 @@ def _fwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, color_ref, invd_ref,
 
 def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
                 dT_ref, ctot_ref, dtot_ref, tfin_ref, dattrs_hbm,
-                chunk_ref, gchunk_ref, sem, gsem, *, grid_x):
+                chunk_ref, gchunk_ref, sem, gsem, wsem, *, grid_x):
+    """Backward sweep, double-buffered like the forward.
+
+    Per chunk: read the attrs chunk AND the current grad chunk
+    (read-modify-write — lanes owned by neighbouring tiles at aligned-chunk
+    overlaps must be preserved), compute per-pair gradients, write the
+    merged grad chunk back. Reads for chunk i+1 are issued while chunk i
+    computes; the write of chunk i drains while i+1 computes (its slot is
+    reclaimed at i+2). Within one tile all chunk ranges are disjoint, so
+    the only write→read hazard is across grid steps (tiles sharing an
+    aligned chunk), handled by the epilogue waits. Chunks behind full
+    saturation (every pixel's transmittance < 1e-4) skip the math and
+    write zeros for their owned lanes (dattrs arrives uninitialised)."""
     t = pl.program_id(0)
     astart, start, end, nchunks = _tile_range(start_ref, end_ref, t)
     px, py = _pixel_coords(tid_ref[t], grid_x)
@@ -214,84 +226,125 @@ def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
                + dD * dtot_ref[0])
     dt_tfin = dT * tfin  # (PIX, 1)
 
+    def rdma(i, slot):
+        return pltpu.make_async_copy(
+            attrs_hbm.at[:, pl.ds(astart + i * CHUNK, CHUNK)],
+            chunk_ref.at[slot], sem.at[slot])
+
+    def gdma(i, slot):
+        return pltpu.make_async_copy(
+            dattrs_hbm.at[:, pl.ds(astart + i * CHUNK, CHUNK)],
+            gchunk_ref.at[slot], gsem.at[slot])
+
+    def wdma(i, slot):
+        return pltpu.make_async_copy(
+            gchunk_ref.at[slot],
+            dattrs_hbm.at[:, pl.ds(astart + i * CHUNK, CHUNK)],
+            wsem.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        rdma(0, 0).start()
+        gdma(0, 0).start()
+
     def body(i, carry):
         R, r_pref = carry  # (PIX,1), (PIX,1) — R: unmasked kept-product
-        dma = pltpu.make_async_copy(
-            attrs_hbm.at[:, pl.ds(astart + i * CHUNK, CHUNK)], chunk_ref, sem)
-        dma.start()
-        # Read-modify-write: fetch the current grad chunk so lanes owned by
-        # neighbouring tiles (aligned-chunk overlap) are preserved.
-        gdma = pltpu.make_async_copy(
-            dattrs_hbm.at[:, pl.ds(astart + i * CHUNK, CHUNK)], gchunk_ref,
-            gsem)
-        gdma.start()
-        dma.wait()
-        chunk = chunk_ref[:, :]
-        a_eff, keep, g, raw, dx, dy = _chunk_alpha(chunk, px, py, astart,
-                                                   start, end, i)
-        one_m = 1.0 - a_eff
-        log_om = jnp.log(one_m)
-        cls = _cumsum1(log_om)
-        incl = R * jnp.exp(cls)
-        live = incl >= T_EPS
-        excl = incl / one_m
-        w = jnp.where(live, a_eff * excl, 0.0)  # (PIX, K)
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
 
-        # ρ(pix, k) = Σ_c dC_c·c_k_c + dD·d_k — folds all cotangents.
-        rho = jax.lax.dot_general(
-            dC, chunk[binning.ATTR_R:binning.ATTR_B + 1, :],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) \
-            + dD * chunk[binning.ATTR_ID:binning.ATTR_ID + 1, :]
-        wrho = w * rho
-        cum_wrho = _cumsum1(wrho)                       # inclusive prefix
-        suffix = r_total - r_pref - cum_wrho            # Σ_{j>k} w_j ρ_j
-        g_alpha = jnp.where(
-            live & keep,
-            excl * rho - (suffix + dt_tfin) / one_m,
-            0.0)                                        # (PIX, K)
-        # Through alpha = min(0.99, op·G): the clamp kills the gradient.
-        g_alpha = jnp.where(raw < ALPHA_MAX, g_alpha, 0.0)
+        @pl.when((i + 1 < nchunks) & (i >= 1))
+        def _():
+            # Slot `nxt` was written out at step i-1; reclaim it first.
+            wdma(i - 1, nxt).wait()
 
-        d_op = jnp.sum(g * g_alpha, axis=0, keepdims=True)       # (1, K)
-        d_power = a_eff * g_alpha                                # = op·G·gα
-        ca = chunk[binning.ATTR_CA:binning.ATTR_CA + 1, :]
-        cb = chunk[binning.ATTR_CB:binning.ATTR_CB + 1, :]
-        cc = chunk[binning.ATTR_CC:binning.ATTR_CC + 1, :]
-        ddx = d_power * (-(ca * dx + cb * dy))
-        ddy = d_power * (-(cc * dy + cb * dx))
-        d_mx = -jnp.sum(ddx, axis=0, keepdims=True)
-        d_my = -jnp.sum(ddy, axis=0, keepdims=True)
-        d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True)
-        d_cb = jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True)
-        d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True)
-        contract = (((0,), (0,)), ((), ()))
-        d_rgb = jax.lax.dot_general(dC, w, contract,
-                                    preferred_element_type=jnp.float32)  # (3,K)
-        d_id = jax.lax.dot_general(dD, w, contract,
-                                   preferred_element_type=jnp.float32)  # (1,K)
+        @pl.when(i + 1 < nchunks)
+        def _():
+            rdma(i + 1, nxt).start()
+            gdma(i + 1, nxt).start()
 
-        new_g = jnp.concatenate(
-            [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_rgb, d_id,
-             jnp.zeros((ROWS - NROW, CHUNK), jnp.float32)], axis=0)
-        gdma.wait()
+        rdma(i, slot).wait()
+        gdma(i, slot).wait()
+        chunk = chunk_ref[slot]
+
+        def compute(carry):
+            R, r_pref = carry
+            a_eff, keep, g, raw, dx, dy = _chunk_alpha(chunk, px, py, astart,
+                                                       start, end, i)
+            one_m = 1.0 - a_eff
+            log_om = jnp.log(one_m)
+            cls = _cumsum1(log_om)
+            incl = R * jnp.exp(cls)
+            live = incl >= T_EPS
+            excl = incl / one_m
+            w = jnp.where(live, a_eff * excl, 0.0)  # (PIX, K)
+
+            # ρ(pix, k) = Σ_c dC_c·c_k_c + dD·d_k — folds all cotangents.
+            rho = jax.lax.dot_general(
+                dC, chunk[binning.ATTR_R:binning.ATTR_B + 1, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) \
+                + dD * chunk[binning.ATTR_ID:binning.ATTR_ID + 1, :]
+            wrho = w * rho
+            cum_wrho = _cumsum1(wrho)                       # inclusive prefix
+            suffix = r_total - r_pref - cum_wrho            # Σ_{j>k} w_j ρ_j
+            g_alpha = jnp.where(
+                live & keep,
+                excl * rho - (suffix + dt_tfin) / one_m,
+                0.0)                                        # (PIX, K)
+            # Through alpha = min(0.99, op·G): the clamp kills the gradient.
+            g_alpha = jnp.where(raw < ALPHA_MAX, g_alpha, 0.0)
+
+            d_op = jnp.sum(g * g_alpha, axis=0, keepdims=True)       # (1, K)
+            d_power = a_eff * g_alpha                                # = op·G·gα
+            ca = chunk[binning.ATTR_CA:binning.ATTR_CA + 1, :]
+            cb = chunk[binning.ATTR_CB:binning.ATTR_CB + 1, :]
+            cc = chunk[binning.ATTR_CC:binning.ATTR_CC + 1, :]
+            ddx = d_power * (-(ca * dx + cb * dy))
+            ddy = d_power * (-(cc * dy + cb * dx))
+            d_mx = -jnp.sum(ddx, axis=0, keepdims=True)
+            d_my = -jnp.sum(ddy, axis=0, keepdims=True)
+            d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True)
+            d_cb = jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True)
+            d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True)
+            contract = (((0,), (0,)), ((), ()))
+            d_rgb = jax.lax.dot_general(
+                dC, w, contract, preferred_element_type=jnp.float32)  # (3,K)
+            d_id = jax.lax.dot_general(
+                dD, w, contract, preferred_element_type=jnp.float32)  # (1,K)
+
+            new_g = jnp.concatenate(
+                [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_rgb, d_id,
+                 jnp.zeros((ROWS - NROW, CHUNK), jnp.float32)], axis=0)
+            R = R * jnp.exp(cls[:, -1:])
+            r_pref = r_pref + cum_wrho[:, -1:]
+            return new_g, R, r_pref
+
+        def dead(carry):
+            R, r_pref = carry
+            return jnp.zeros((ROWS, CHUNK), jnp.float32), R, r_pref
+
+        new_g, R, r_pref = jax.lax.cond(jnp.any(R >= T_EPS), compute, dead,
+                                        (R, r_pref))
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
         pos = astart + i * CHUNK + lane
         owned = (pos >= start) & (pos < end)
-        gchunk_ref[:, :] = jnp.where(owned, new_g, gchunk_ref[:, :])
-        wdma = pltpu.make_async_copy(
-            gchunk_ref, dattrs_hbm.at[:, pl.ds(astart + i * CHUNK, CHUNK)],
-            gsem)
-        wdma.start()
-        wdma.wait()
-
-        R = R * jnp.exp(cls[:, -1:])
-        r_pref = r_pref + cum_wrho[:, -1:]
+        gchunk_ref[slot] = jnp.where(owned, new_g, gchunk_ref[slot])
+        wdma(i, slot).start()
         return R, r_pref
 
     T0 = jnp.ones((PIX, 1), jnp.float32)
     R0 = jnp.zeros((PIX, 1), jnp.float32)
     jax.lax.fori_loop(0, nchunks, body, (T0, R0))
+
+    # Drain outstanding writes before the next tile (which may share an
+    # aligned chunk with this one) issues its first grad read.
+    @pl.when(nchunks >= 2)
+    def _():
+        wdma(nchunks - 2, jax.lax.rem(nchunks - 2, 2)).wait()
+
+    @pl.when(nchunks >= 1)
+    def _():
+        wdma(nchunks - 1, jax.lax.rem(nchunks - 1, 2)).wait()
 
 
 def _tiles_to_image(tiles: jnp.ndarray, grid_x: int, grid_y: int,
@@ -375,10 +428,11 @@ def _make_composite(width: int, height: int, p_pad: int, interpret: bool,
             ],
             out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # dattrs
             scratch_shapes=[
-                pltpu.VMEM((ROWS, CHUNK), jnp.float32),
-                pltpu.VMEM((ROWS, CHUNK), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, ROWS, CHUNK), jnp.float32),
+                pltpu.VMEM((2, ROWS, CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=[jax.ShapeDtypeStruct((ROWS, p_pad), jnp.float32)],
@@ -451,13 +505,14 @@ def rasterize(proj: ProjectedGaussians, bg: jnp.ndarray,
     if interpret is None:
         interpret = _interpret_default()
     binned = binning.bin_gaussians(proj, width, height, pair_capacity)
-    # Reorder Gaussians front-to-back (differentiable N-gather), then gather
-    # pair attributes in depth space (differentiable P-gather; its VJP is the
-    # pair->Gaussian scatter-add reduction).
-    proj_sorted = jax.tree.map(
-        lambda x: binning.permute_rows(x, binned.depth_order,
-                                       binned.depth_inv), proj)
-    attrs = binning.pack_attributes(proj_sorted)   # (NROW, N) depth-ordered
+    # Pack attribute rows FIRST, then depth-permute along lanes and gather
+    # pair attributes in depth space (both differentiable lane gathers; the
+    # pair gather's VJP is the sort-back segment reduction). Packing before
+    # permuting keeps every gather on the fast lane axis — permuting the
+    # (N, c) proj fields directly costs ~7x more (scalar row copies).
+    attrs0 = binning.pack_attributes(proj)              # (NROW, N) original
+    attrs = binning.permute_lanes(attrs0, binned.depth_order,
+                                  binned.depth_inv)     # depth-ordered
     sorted_attrs = binning.gather_pairs(attrs, binned)  # (NROW, P)
     # Mask padding pairs so junk never reaches the kernel or the VJP.
     pair_valid = (jnp.arange(pair_capacity) < binned.num_pairs)[None, :]
@@ -477,6 +532,7 @@ def rasterize(proj: ProjectedGaussians, bg: jnp.ndarray,
         "invdepth": invd,
         "final_T": t_fin[0],
         "overflow": binned.overflow,
+        "num_pairs": binned.num_pairs,
     }
 
 
@@ -485,8 +541,27 @@ def default_pair_capacity(n: int) -> int:
 
     Trained scenes average ~2-5 covered tiles per Gaussian; overflow is
     counted and surfaced so callers can re-render with a larger explicit
-    capacity when a scene exceeds it."""
+    capacity when a scene exceeds it. Adaptive callers (the trainer, the
+    bench) size the capacity from observed pair counts with
+    :func:`round_capacity` instead — every pair-sized op (sort, scans,
+    gathers, kernel sweeps) scales with this number, so a tight ladder
+    value is a direct throughput win."""
     return int(max(2 ** int(np.ceil(np.log2(max(n * 4, 4096)))), 4096))
+
+
+def round_capacity(pairs: int) -> int:
+    """Smallest ladder capacity >= pairs, ladder = {2^k, 3·2^(k-1)}.
+
+    The 1.5×-stepped ladder halves the worst-case padding waste of a pure
+    power-of-two ladder while keeping the number of distinct compiled
+    programs per scene scale bounded (≤2 per octave)."""
+    pairs = max(int(pairs), 4096)
+    k = int(np.ceil(np.log2(pairs)))
+    p2 = 2 ** k
+    p15 = 3 * 2 ** (k - 1)  # 1.5 * 2^k... between 2^k and 2^(k+1)
+    candidates = [c for c in (2 ** (k - 1), 3 * 2 ** (k - 2), p2, p15)
+                  if c >= pairs]
+    return int(min(candidates))
 
 
 def composite_bands(sorted_attrs_padded: jnp.ndarray, tile_ids: jnp.ndarray,

@@ -41,6 +41,7 @@ def render(
     screen_offset: Optional[jnp.ndarray] = None,
     backend: str = "auto",
     clamp: bool = True,
+    pair_capacity: Optional[int] = None,
 ):
     """Render one view. Returns dict(render, invdepth, radii, visibility)."""
     cov3d = state.get_covariance(scaling_modifier)
@@ -68,7 +69,8 @@ def render(
     if use_pallas:
         from . import rasterize_pallas  # noqa: PLC0415
         out = rasterize_pallas.rasterize(
-            proj, bg_color, camera.width, camera.height)
+            proj, bg_color, camera.width, camera.height,
+            pair_capacity=pair_capacity)
     else:
         out = ref_ops.rasterize_reference(
             proj, bg_color, camera.width, camera.height)
@@ -86,4 +88,6 @@ def render(
         "radii": proj.radius,
         "visibility": proj.radius > 0,
         "final_T": out.get("final_T"),
+        "overflow": out.get("overflow"),
+        "num_pairs": out.get("num_pairs"),
     }

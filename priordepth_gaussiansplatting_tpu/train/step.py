@@ -66,8 +66,14 @@ class TrainStepFns:
 
 
 def make_train_step(opt_cfg: OptimizationConfig, pipe_cfg: PipelineConfig,
-                    use_trained_exp: bool = False):
-    """Build the jitted train step closed over static hyperparameters."""
+                    use_trained_exp: bool = False,
+                    pair_capacity: Optional[int] = None):
+    """Build the jitted train step closed over static hyperparameters.
+
+    `pair_capacity` pins the rasterizer's static (Gaussian, tile) pair-list
+    size; the trainer adapts it from observed pair counts (metrics carry
+    `num_pairs`/`overflow`) and rebuilds the step on ladder changes — every
+    pair-sized op scales with it, so a tight value is a direct win."""
     sparse = opt_cfg.optimizer_type == "sparse_adam"
     backend = pipe_cfg.backend
 
@@ -89,7 +95,8 @@ def make_train_step(opt_cfg: OptimizationConfig, pipe_cfg: PipelineConfig,
                          antialiasing=pipe_cfg.antialiasing,
                          use_trained_exp=use_trained_exp,
                          screen_offset=screen_offset,
-                         backend=backend)
+                         backend=backend,
+                         pair_capacity=pair_capacity)
             image = out["render"]
             gt = camera.image
             if camera.alpha_mask is not None:
@@ -108,6 +115,9 @@ def make_train_step(opt_cfg: OptimizationConfig, pipe_cfg: PipelineConfig,
                 loss = loss + dloss
             aux = {"radii": out["radii"], "l1": ll1, "ssim": ssim_v,
                    "depth_loss": dloss, "image": image}
+            if out.get("num_pairs") is not None:
+                aux["num_pairs"] = jax.lax.stop_gradient(out["num_pairs"])
+                aux["overflow"] = jax.lax.stop_gradient(out["overflow"])
             return loss, aux
 
         (loss, aux), (param_grads, screen_grads) = jax.value_and_grad(
@@ -128,6 +138,9 @@ def make_train_step(opt_cfg: OptimizationConfig, pipe_cfg: PipelineConfig,
             "n_visible": jnp.sum(visibility.astype(jnp.int32)),
             "n_active": state.num_active,
         }
+        if "num_pairs" in aux:
+            metrics["num_pairs"] = aux["num_pairs"]
+            metrics["overflow"] = aux["overflow"]
         return state, opt_state, metrics
 
     def densify(state, opt_state, key, use_size_threshold: bool = False):

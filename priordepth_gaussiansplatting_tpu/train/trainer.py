@@ -48,6 +48,7 @@ class Trainer:
             max_sh_degree=model_cfg.sh_degree,
             spatial_lr_scale=scene.cameras_extent)
         self.opt_state = optim.init_adam(self.state.params)
+        self.pair_capacity: Optional[int] = None  # None → ops default (4·N)
         self.fns = step_lib.make_train_step(
             opt_cfg, pipe_cfg, use_trained_exp=model_cfg.train_test_exp)
         self.bg = jnp.asarray(
@@ -119,6 +120,9 @@ class Trainer:
 
             loss = float(metrics["loss"])
             self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
+            if "num_pairs" in metrics and it % 100 == 0:
+                self._adapt_pair_capacity(int(metrics["num_pairs"]),
+                                          int(metrics["overflow"]))
             if it % 10 == 0:
                 # Reference TB scalar names (train.py:402-445).
                 self.logger.scalars({
@@ -148,6 +152,35 @@ class Trainer:
         return {"iterations": total, "wall_s": wall,
                 "final_loss": self.ema_loss,
                 "n_active": int(self.state.num_active)}
+
+    def _adapt_pair_capacity(self, num_pairs: int, overflow: int) -> None:
+        """Size the rasterizer's static pair list from observed pair counts.
+
+        Every pair-sized op (tile sort, expansion scans, attribute gathers,
+        kernel sweeps) scales with this capacity, so tracking the scene's
+        real (Gaussian, tile) pair count — the CUDA rasterizer allocates it
+        exactly per frame — is a direct throughput win. 1.5× headroom
+        absorbs view-to-view variance; ladder rounding (round_capacity)
+        bounds recompiles. Overflow (dropped pairs this view) forces growth.
+        """
+        from ..ops import rasterize_pallas as rp  # noqa: PLC0415
+        effective = (self.pair_capacity
+                     or rp.default_pair_capacity(self.state.capacity))
+        desired = rp.round_capacity(int((num_pairs + overflow) * 1.5))
+        if overflow > 0:
+            desired = max(desired, rp.round_capacity(effective + 1))
+        if desired < effective and (num_pairs + overflow) * 2.0 > effective:
+            return  # hysteresis: don't flap one rung down on view variance
+        if desired != effective:
+            self.pair_capacity = desired
+            self.fns = step_lib.make_train_step(
+                self.opt_cfg, self.pipe_cfg,
+                use_trained_exp=self.model_cfg.train_test_exp,
+                pair_capacity=desired)
+            if not self.quiet:
+                print(f"[it {self.iteration}] pair capacity -> {desired} "
+                      f"(pairs {num_pairs}, overflow {overflow})",
+                      flush=True)
 
     # ------------------------------------------------------------- eval
     def report(self, it: int) -> dict:
