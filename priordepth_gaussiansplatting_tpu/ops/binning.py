@@ -36,6 +36,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .projection import TILE, ProjectedGaussians, tile_rect
 
@@ -62,6 +64,7 @@ class TileBinning:
     depth_order: jnp.ndarray  # (N,) int32
     depth_inv: jnp.ndarray    # (N,) int32 — inverse of depth_order
     gauss_ids: jnp.ndarray    # (P,) int32 — depth-space Gaussian per pair
+    gid_depth: jnp.ndarray    # (P,) int32 — ASCENDING Gaussian per depth-pair
     tile_ids: jnp.ndarray     # (P,) int32 — tile index per sorted pair
     tile_start: jnp.ndarray   # (num_tiles,) int32
     tile_end: jnp.ndarray     # (num_tiles,) int32
@@ -173,6 +176,7 @@ def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
         depth_order=order,
         depth_inv=order_inv,
         gauss_ids=gid_sorted,
+        gid_depth=gid,
         tile_ids=tile_sorted,
         tile_start=tile_start,
         tile_end=tile_end,
@@ -231,8 +235,9 @@ def gather_pairs(attrs: jnp.ndarray, binned: TileBinning) -> jnp.ndarray:
     attribute rows as sort payloads — TPU's sort moves payload lanes in
     vector units where a random-index gather degrades to element access.
     In depth order each Gaussian's pairs are CONTIGUOUS, so the reduction
-    is an exclusive-cumsum difference at the N+1 segment boundaries (one
-    lane gather).
+    is a contiguous segment sum — done by the Pallas `segment_reduce`
+    kernel (one-hot MXU contraction per pair chunk; ~2.5x the XLA
+    cumsum + boundary-gather at 8M pairs, and more accurate).
     """
     return attrs[:, binned.gauss_ids]
 
@@ -243,26 +248,127 @@ def _gather_pairs_fwd(attrs, binned):
 
 def _gather_pairs_bwd(res, d_sorted):
     n, binned = res
-    p = d_sorted.shape[1]
     sorted_back = jax.lax.sort(
         (binned.perm,) + tuple(d_sorted), dimension=0, is_stable=False,
         num_keys=1)
     d_pairs = jnp.stack(sorted_back[1:], axis=0)    # depth-order pairs
-    cum = jnp.cumsum(d_pairs, axis=1)               # inclusive (ROWS, P)
-    zero = jnp.zeros((d_sorted.shape[0], 1), d_sorted.dtype)
-    cum = jnp.concatenate([zero, cum], axis=1)      # exclusive at [i]
-    # Segment boundaries: offsets are gap-free exclusive starts, so
-    # hi[g] == bounds[g+1] — one (ROWS, N+1) gather instead of two.
-    bounds = jnp.clip(
-        jnp.concatenate([binned.seg_offsets,
-                         (binned.seg_offsets[-1:]
-                          + binned.seg_counts[-1:])]), 0, p)
-    cumb = cum[:, bounds]
-    d_attrs = cumb[:, 1:] - cumb[:, :-1]            # (ROWS, N)
+    d_attrs = segment_reduce(d_pairs, binned, n)    # (ROWS, N)
     return d_attrs, None
 
 
 gather_pairs.defvjp(_gather_pairs_fwd, _gather_pairs_bwd)
+
+
+# --- depth-pair -> per-Gaussian segment reduction (Pallas) -----------------
+#
+# After the sort-back, each Gaussian's pair cotangents are contiguous and
+# `gid_depth` is ascending, so a block of SEG_G consecutive Gaussians owns a
+# contiguous pair range. The kernel sweeps that range in chunks and reduces
+# chunk -> block with a one-hot MXU contraction — replacing the XLA
+# cumsum + boundary-gather (a (ROWS, N)-sized random gather, ~7x slower at
+# millions of pairs).
+
+SEG_G = 512    # gaussians per block (output lanes)
+SEG_K = 512    # pairs per chunk
+
+
+def _segment_reduce_kernel(bounds_ref, d_hbm, gid_hbm, out_ref,
+                           dbuf, gbuf, dsem, gsem):
+    b = pl.program_id(0)
+    start = bounds_ref[b]
+    end = bounds_ref[b + 1]
+    astart = pl.multiple_of((start // SEG_K) * SEG_K, SEG_K)
+    nchunks = jnp.where(end > start, pl.cdiv(end - astart, SEG_K), 0)
+    g0 = b * SEG_G
+
+    def ddma(i, slot):
+        return pltpu.make_async_copy(
+            d_hbm.at[:, pl.ds(astart + i * SEG_K, SEG_K)],
+            dbuf.at[slot], dsem.at[slot])
+
+    def gdma(i, slot):
+        return pltpu.make_async_copy(
+            gid_hbm.at[:, pl.ds(astart + i * SEG_K, SEG_K)],
+            gbuf.at[slot], gsem.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        ddma(0, 0).start()
+        gdma(0, 0).start()
+
+    def body(i, acc):
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < nchunks)
+        def _():
+            ddma(i + 1, nxt).start()
+            gdma(i + 1, nxt).start()
+
+        ddma(i, slot).wait()
+        gdma(i, slot).wait()
+        d = dbuf[slot]             # (16, K)
+        rel = gbuf[slot] - g0      # (1, K)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, SEG_K), 1)
+        pos = astart + i * SEG_K + lane
+        in_range = (pos >= start) & (pos < end)
+        iota_g = jax.lax.broadcasted_iota(jnp.int32, (SEG_G, SEG_K), 0)
+        onehot = ((rel == iota_g) & in_range).astype(jnp.float32)  # (G, K)
+        # The MXU truncates f32 operands to bf16 at DEFAULT precision
+        # (~0.4% gradient error) and HIGHEST (6-pass) costs 2.3x wall time;
+        # since the one-hot operand is exact, two DEFAULT-precision dots on
+        # a hi/lo bf16 split of `d` recover f32 accuracy (~1e-7 rel) for
+        # one extra cheap pass.
+        d_hi = d.astype(jnp.bfloat16).astype(jnp.float32)
+        d_lo = d - d_hi
+        dims = (((1,), (1,)), ((), ()))
+        return (acc
+                + jax.lax.dot_general(
+                    d_hi, onehot, dims,
+                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(
+                    d_lo, onehot, dims,
+                    preferred_element_type=jnp.float32))  # (16, G)
+
+    acc = jax.lax.fori_loop(
+        0, nchunks, body, jnp.zeros((16, SEG_G), jnp.float32))
+    out_ref[0] = acc
+
+
+def segment_reduce(d_pairs: jnp.ndarray, binned: TileBinning,
+                   n: int, interpret: bool | None = None) -> jnp.ndarray:
+    """Σ per Gaussian of depth-ordered pair rows: (ROWS, P) -> (ROWS, N)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    rows, p = d_pairs.shape
+    nb = -(-n // SEG_G)
+    num_pairs = binned.num_pairs
+    # Block b's pair range starts at the first pair of gaussian b*SEG_G.
+    starts = jnp.clip(binned.seg_offsets[::SEG_G], 0, num_pairs)
+    bounds = jnp.concatenate(
+        [starts, num_pairs[None]]).astype(jnp.int32)     # (nb+1,)
+    d16 = jnp.pad(d_pairs, ((0, 16 - rows), (0, SEG_K)))
+    gid = jnp.pad(binned.gid_depth, (0, d16.shape[1] - p))[None, :]
+    out = pl.pallas_call(
+        _segment_reduce_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                      pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec((1, 16, SEG_G), lambda b, *_: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, 16, SEG_K), jnp.float32),
+                pltpu.VMEM((2, 1, SEG_K), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb, 16, SEG_G), jnp.float32),
+        interpret=interpret,
+    )(bounds, d16, gid)
+    return out.transpose(1, 0, 2).reshape(16, nb * SEG_G)[:rows, :n]
 
 
 @jax.custom_vjp

@@ -164,6 +164,40 @@ def test_pair_overflow_is_reported():
     assert int(out["overflow"]) >= 0
 
 
+def test_segment_reduce_matches_numpy():
+    """Pallas pair->Gaussian reduction vs float64 numpy ground truth,
+    covering zero-pair Gaussians and N not a multiple of the block size."""
+    key = jax.random.PRNGKey(11)
+    W = H = 96
+    cam = T.look_at_camera((0, 0, -2.5), width=W, height=H)
+    n = 700  # not a multiple of binning.SEG_G
+    params = T.random_gaussians(key, n, scale_range=(0.0, 0.08))
+    # Push some Gaussians behind the camera so they cull to zero pairs.
+    means = params["means"].at[::13, 2].set(-10.0)
+    params = dict(params, means=means)
+    proj = _project(params, cam)
+    b = binning.bin_gaussians(proj, W, H, pair_capacity=1 << 15)
+    npairs = int(b.num_pairs)
+    assert int(b.overflow) == 0
+    counts = np.asarray(b.seg_counts)
+    assert (counts == 0).any()  # some Gaussians bin to no tile
+
+    d_np = np.random.default_rng(0).standard_normal(
+        (binning.ATTR_ROWS, 1 << 15)).astype(np.float32)
+    got = np.asarray(binning.segment_reduce(jnp.asarray(d_np), b, n,
+                                            interpret=True))
+    offs = np.asarray(b.seg_offsets)
+    d64 = d_np[:, :npairs].astype(np.float64)
+    cum = np.concatenate([np.zeros((d64.shape[0], 1)),
+                          np.cumsum(d64, axis=1)], axis=1)
+    lo = np.clip(offs, 0, npairs)
+    hi = np.clip(offs + counts, 0, npairs)
+    truth = cum[:, hi] - cum[:, lo]
+    np.testing.assert_allclose(got, truth, atol=2e-4)
+    assert got.shape == (binning.ATTR_ROWS, n)
+    assert np.abs(got[:, counts == 0]).max() == 0.0
+
+
 def test_binning_gather_path_matches_scan_path(monkeypatch):
     """The big-capacity pair expansion (binary search + gathers) must produce
     exactly the scan-path binning."""
