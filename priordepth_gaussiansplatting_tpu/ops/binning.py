@@ -11,22 +11,23 @@ entirely:
   1. DEPTH-SORT the N Gaussians once (argsort over N, cheap). After this,
      any stable tile-keyed ordering of pairs is automatically depth-ordered
      within each tile — no depth key, no 2-key sort.
-  2. Pair expansion with a static capacity P, WITHOUT jnp.repeat or
-     pair-sized gathers: scatter each Gaussian's (start offset, id, packed
-     rect) to its segment-start position in the P-sized pair array, then
-     recover per-pair values with log-depth scans —
-       base_pos  = cummax(scatter(offsets))       → rank = pos − base_pos
-       gauss_id  = cummax(scatter(ids))           (ids ascend ⇒ cummax holds)
-       rect data = hold-last(scatter(pack))       (associative select scan)
-     All scans are O(P log P) VPU work; no random access.
-  3. ONE stable single-key sort by tile id (u32) with the pair's Gaussian id
+  2. Pair expansion by a Pallas kernel over pair chunks: segment starts of
+     the PRESENT (count>0) Gaussians are compacted into an ascending
+     offsets table; a chunk of K consecutive pairs can only reference a
+     window of K+slack consecutive present Gaussians, so the kernel DMAs
+     that window, ranks each pair against it with a compare matrix
+     (j = Σ offsets≤pos − 1), recovers (offset, rect, id) with a one-hot
+     MXU contraction, and emits per-pair tile + Gaussian id. It also
+     accumulates the (tile_y, tile_x) pair histogram with two one-hot
+     matmuls per chunk — per-tile ranges are its exclusive cumsum, no
+     searchsorted over the sorted pair list.
+  3. ONE stable single-key sort by tile id with the pair's Gaussian id
      as payload — XLA's TPU sort is fast; stability preserves depth order.
-  4. Per-tile [start, end) ranges via vectorised searchsorted.
 
 Pairs beyond capacity are dropped and counted in `overflow`; padding pairs
 get tile id = num_tiles and sort to the end. Everything is
 differentiable-free index plumbing; gradients flow through the subsequent
-attribute gather (VJP = scatter-add back onto Gaussians).
+attribute gather (VJP = sort-back + Pallas segment reduction).
 """
 
 from __future__ import annotations
@@ -45,11 +46,11 @@ from .projection import TILE, ProjectedGaussians, tile_rect
 # per row, i.e. image widths up to 256*16 = 4096 px.
 RECT_PACK = 256
 
-# Above this pair capacity, pair expansion switches from cumulative-scan
-# form to binary-search + gather form (XLA TPU compile time for big 1D
-# cumulative ops grows superlinearly; ~2M compiles in ~1min, 8M does not
-# finish in 50).
-SCAN_PAIR_LIMIT = 2 ** 21
+# Pair-expansion kernel geometry: K pairs per chunk, window of W present
+# Gaussians (W ≥ K + DMA alignment slack 128 + 2; multiple of 128).
+EXP_K = 512
+EXP_W = EXP_K + 256
+_OFF_SENTINEL = 1 << 30
 
 
 @jax.tree_util.register_dataclass
@@ -68,7 +69,6 @@ class TileBinning:
     tile_ids: jnp.ndarray     # (P,) int32 — tile index per sorted pair
     tile_start: jnp.ndarray   # (num_tiles,) int32
     tile_end: jnp.ndarray     # (num_tiles,) int32
-    perm: jnp.ndarray         # (P,) int32 — depth-order pair of each sorted slot
     seg_offsets: jnp.ndarray  # (N,) int32 — first pair of each gaussian
     seg_counts: jnp.ndarray   # (N,) int32 — pairs per gaussian
     num_pairs: jnp.ndarray    # () int32 — valid pairs (≤ P)
@@ -83,11 +83,87 @@ def grid_shape(width: int, height: int) -> tuple[int, int]:
     return (-(-width // TILE), -(-height // TILE))
 
 
-@partial(jax.jit, static_argnames=("width", "height", "pair_capacity"))
+def _expand_kernel_factory(grid_x: int, grid_y: int, gyp: int, gxp: int):
+    num_tiles = grid_x * grid_y
+
+    def kernel(s0_ref, tot_ref, comp_hbm, pairs_ref, hist_ref, wbuf, wsem):
+        c = pl.program_id(0)
+        nb = pl.num_programs(0)
+
+        def dma(i, slot):
+            start = pl.multiple_of(s0_ref[i], 128)
+            return pltpu.make_async_copy(
+                comp_hbm.at[:, pl.ds(start, EXP_W)],
+                wbuf.at[slot], wsem.at[slot])
+
+        @pl.when(c == 0)
+        def _():
+            dma(0, 0).start()
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < nb)
+        def _():
+            dma(c + 1, 1 - slot).start()
+        dma(c, slot).wait()
+        win = wbuf[slot, :3]                           # (3, W) int32
+        offs = win[0:1, :]                             # (1, W)
+        ksub = jax.lax.broadcasted_iota(jnp.int32, (EXP_K, 1), 0)
+        pos_s = c * EXP_K + ksub                       # (K, 1)
+        cmp = (pos_s >= offs).astype(jnp.float32)      # (K, W)
+        # one-hot of the OWNING gaussian: row k is 1 for windows 0..j(k).
+        shifted = jnp.concatenate(
+            [cmp[:, 1:], jnp.zeros((EXP_K, 1), jnp.float32)], axis=1)
+        onehot = cmp - shifted                         # (K, W)
+        # exact integer gather of (offset, pack, gid): HIGHEST keeps the
+        # f32 values un-truncated on the MXU (they exceed bf16's mantissa).
+        sel = jax.lax.dot_general(
+            win.astype(jnp.float32), onehot, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)        # (3, K)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, EXP_K), 1)
+        pos = c * EXP_K + lane                         # (1, K)
+        off_sel, pack_sel, gid_sel = sel[0:1], sel[1:2], sel[2:3]
+        rank = pos.astype(jnp.float32) - off_sel
+        base = jnp.floor(pack_sel * (1.0 / RECT_PACK))
+        nx = jnp.maximum(pack_sel - base * RECT_PACK, 1.0)
+        # rank // nx via f32: exact for rank ≤ grid area (≪ 2^23 / margin).
+        q = jnp.floor((rank + 0.5) / nx)
+        r = rank - q * nx
+        tile = base + q * grid_x + r
+        valid = pos < tot_ref[0]
+        tile_i = jnp.where(valid, tile.astype(jnp.int32), num_tiles)
+        pairs_ref[0:1, :] = tile_i
+        pairs_ref[1:2, :] = gid_sel.astype(jnp.int32)
+        # (tile_y, tile_x) histogram of this chunk via two one-hots on the
+        # MXU; padding pairs have tile_y == grid_y and fall outside.
+        tile_f = tile_i.astype(jnp.float32)
+        ty = jnp.floor((tile_f + 0.5) * (1.0 / grid_x)).astype(jnp.int32)
+        tx = tile_i - ty * grid_x
+        ity = jax.lax.broadcasted_iota(jnp.int32, (gyp, EXP_K), 0)
+        itx = jax.lax.broadcasted_iota(jnp.int32, (gxp, EXP_K), 0)
+        oty = (ity == ty).astype(jnp.float32)
+        otx = (itx == tx).astype(jnp.float32)
+
+        @pl.when(c == 0)
+        def _():
+            hist_ref[...] = jnp.zeros((gyp, gxp), jnp.float32)
+        hist_ref[...] += jax.lax.dot_general(
+            oty, otx, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("width", "height", "pair_capacity",
+                                   "interpret"))
 def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
-                  pair_capacity: int) -> TileBinning:
+                  pair_capacity: int,
+                  interpret: bool | None = None) -> TileBinning:
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     n = proj.mean2d.shape[0]
     p = pair_capacity
+    assert p % EXP_K == 0, "pair_capacity must be a multiple of EXP_K"
     grid_x, grid_y = grid_shape(width, height)
     num_tiles = grid_x * grid_y
 
@@ -113,65 +189,71 @@ def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
     offsets = jnp.cumsum(counts) - counts  # exclusive
     total = jnp.sum(counts)
 
-    # 2. per-pair (gaussian id, rank, rect) WITHOUT pair-sized gathers OR
-    # pair-sized cumulative scans — XLA TPU compile time for cumulative ops
-    # explodes superlinearly somewhere past ~2M elements, so two
-    # implementations exist:
-    #   scan path  (p small): segment-start scatters + cummax / hold-last;
-    #   gather path (p big):  gid via vectorised binary search over the
-    #                         offsets table, then two (p,)-from-(n,) gathers.
-    pair_pos = jnp.arange(p, dtype=jnp.int32)
+    # 2. compact the PRESENT gaussians' (offset, pack, id) into ascending
+    # tables for the expansion kernel; a chunk of EXP_K pairs references a
+    # window of ≤ EXP_K+1 consecutive present gaussians (each has ≥1 pair).
+    # Compaction is ONE stable sort keyed on the masked offset (absent →
+    # sentinel): offsets strictly ascend among present gaussians, so the
+    # sort just slides the absent ones to the tail. A sort is ~15x faster
+    # here than the monotone-inverse searchsorted gather (1M binary-search
+    # queries = 20 serial gather rounds, ~156 ms at N=1M), and a scatter is
+    # far worse still (XLA TPU lowers it to a serial N-iteration loop).
     ids = jnp.arange(n, dtype=jnp.int32)
-    pos = jnp.where((counts > 0) & (offsets < p), offsets, p)
-    seg_off = jnp.zeros((p,), jnp.int32).at[pos].set(offsets, mode="drop")
-    seg_gid = jnp.zeros((p,), jnp.int32).at[pos].set(ids, mode="drop")
-    base_pos = jax.lax.cummax(seg_off)
-    gid = jax.lax.cummax(seg_gid)
-    rank = pair_pos - base_pos
-    # Rect pack per pair via gid-keyed cummax (hold-last of a value that is
-    # constant within each segment == cummax of a gid-monotone composite
-    # key). pack needs ~21 bits, gid up to 2^20 — split pack across two
-    # 31-bit-safe keys: key_lo = gid*2^11 + pack_lo, key_hi = gid*2^10 +
-    # pack_hi. Replaces both the associative_scan (whose TPU compile
-    # explodes past ~2M) and the pair-from-gaussian gather (~40ms at 4M).
-    if n <= (1 << 20):
-        pack_lo = pack & 0x7FF          # 11 bits
-        pack_hi = pack >> 11            # ≤ 10 bits for ≤4096px grids
-        key_lo = ids * 2048 + pack_lo   # gid ≤ 2^20 keeps this in int32
-        key_hi = ids * 1024 + pack_hi
-        seg_lo = jnp.zeros((p,), jnp.int32).at[pos].set(key_lo, mode="drop")
-        seg_hi = jnp.zeros((p,), jnp.int32).at[pos].set(key_hi, mode="drop")
-        lo_pair = jax.lax.cummax(seg_lo) - gid * 2048
-        hi_pair = jax.lax.cummax(seg_hi) - gid * 1024
-        pack_pair = (hi_pair << 11) | lo_pair
-    else:
-        # gid too large for the int32 composite key: one pair-from-gaussian
-        # gather instead (associative_scan is not an option at scale).
-        pack_pair = pack[gid]
-    seg_has = jnp.zeros((p,), jnp.int32).at[pos].set(1, mode="drop")
-    have_rect = jax.lax.cummax(seg_has) > 0
-    rect_base = pack_pair // RECT_PACK
-    rect_nx = jnp.maximum(pack_pair % RECT_PACK, 1)
-    tile = rect_base + (rank // rect_nx) * grid_x + rank % rect_nx
-    valid = (pair_pos < jnp.minimum(total, p)) & have_rect
-    tile_ids = jnp.where(valid, tile, num_tiles).astype(jnp.int32)
+    present = (counts > 0) & (offsets < p)
+    n_pad = -(-(n + EXP_W) // 128) * 128
+    off_c, pack_c, ids_c = jax.lax.sort(
+        (jnp.where(present, offsets, _OFF_SENTINEL), pack, ids),
+        dimension=0, is_stable=True, num_keys=1)
+    pad = n_pad - n
+    comp = jnp.concatenate([
+        jnp.stack([jnp.pad(off_c, (0, pad), constant_values=_OFF_SENTINEL),
+                   jnp.pad(pack_c, (0, pad)),
+                   jnp.pad(ids_c, (0, pad))]),
+        jnp.zeros((5, n_pad), jnp.int32)])
 
-    # 3. single stable tile-key sort (depth order preserved within tiles).
-    # The iota payload records each sorted slot's source pair in depth-pair
-    # space — the gradient reduction sorts pair cotangents BACK to depth
-    # order with it (a payload sort beats the inverse-permutation gather
-    # ~2x at multi-million pair counts, and the second sort that used to
-    # build the inverse permutation disappears entirely).
-    tile_sorted, gid_sorted, perm = jax.lax.sort(
-        (tile_ids, gid, pair_pos), dimension=0, is_stable=True, num_keys=1)
+    # Per-chunk window starts: C[c] = #present offsets < c*EXP_K via
+    # searchsorted over the compacted (ascending, sentinel-tailed) offsets,
+    # 128-aligned for the lane DMA.
+    nb = p // EXP_K
+    cpos = jnp.arange(nb, dtype=jnp.int32) * EXP_K
+    c_tab = jnp.searchsorted(comp[0], cpos, side="left").astype(jnp.int32)
+    s0 = (jnp.clip(c_tab - 1, 0, jnp.maximum(n - 1, 0)) // 128) * 128
+    tot = jnp.minimum(total, p).astype(jnp.int32)[None]
 
-    # 4. per-tile ranges: ends are the next tile's start (ranges partition
-    # the sorted pair list), so ONE searchsorted over num_tiles+1 queries.
-    tiles = jnp.arange(num_tiles + 1, dtype=jnp.int32)
-    bounds = jnp.searchsorted(tile_sorted, tiles,
-                              side="left").astype(jnp.int32)
-    tile_start = bounds[:-1]
-    tile_end = bounds[1:]
+    gyp = -(-grid_y // 8) * 8
+    gxp = -(-grid_x // 128) * 128
+    pairs, hist = pl.pallas_call(
+        _expand_kernel_factory(grid_x, grid_y, gyp, gxp),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nb,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+            out_specs=[
+                pl.BlockSpec((2, EXP_K), lambda c, *_: (0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gyp, gxp), lambda c, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, 8, EXP_W), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((2, p), jnp.int32),
+                   jax.ShapeDtypeStruct((gyp, gxp), jnp.float32)],
+        interpret=interpret,
+    )(s0, tot, comp)
+    tile_ids = pairs[0]
+    gid = pairs[1]
+
+    # 3. per-tile ranges from the histogram (counts partition the sorted
+    # pair list; padding sorts last), then the single stable tile-key sort.
+    counts_t = hist[:grid_y, :grid_x].reshape(num_tiles).astype(jnp.int32)
+    ends = jnp.cumsum(counts_t).astype(jnp.int32)
+    tile_start = ends - counts_t
+    tile_end = ends
+    tile_sorted, gid_sorted = jax.lax.sort(
+        (tile_ids, gid), dimension=0, is_stable=True, num_keys=1)
     return TileBinning(
         depth_order=order,
         depth_inv=order_inv,
@@ -180,10 +262,9 @@ def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
         tile_ids=tile_sorted,
         tile_start=tile_start,
         tile_end=tile_end,
-        perm=perm,
         seg_offsets=offsets,
         seg_counts=counts,
-        num_pairs=jnp.minimum(total, p).astype(jnp.int32),
+        num_pairs=tot[0],
         overflow=jnp.maximum(total - p, 0).astype(jnp.int32),
     )
 
@@ -231,13 +312,15 @@ def gather_pairs(attrs: jnp.ndarray, binned: TileBinning) -> jnp.ndarray:
     The VJP avoids both XLA's scatter-add AND the inverse-permutation
     gather (the two slowest candidates at multi-million pair counts,
     ~2.5x and ~1.4x slower respectively on TPU): pair cotangents are
-    sorted back to depth-pair order with `perm` as the key, carrying the
-    attribute rows as sort payloads — TPU's sort moves payload lanes in
-    vector units where a random-index gather degrades to element access.
-    In depth order each Gaussian's pairs are CONTIGUOUS, so the reduction
-    is a contiguous segment sum — done by the Pallas `segment_reduce`
-    kernel (one-hot MXU contraction per pair chunk; ~2.5x the XLA
-    cumsum + boundary-gather at 8M pairs, and more accurate).
+    sorted back to depth-pair segments keyed on the pair's Gaussian id,
+    carrying the attribute rows as sort payloads — TPU's sort moves
+    payload lanes in vector units where a random-index gather degrades to
+    element access. Per-Gaussian order within a segment is irrelevant
+    (only the sum survives), so the id itself is a sufficient key; padding
+    pairs are bumped past every real id so they sort after the last
+    segment. The reduction is then a contiguous segment sum — the Pallas
+    `segment_reduce` kernel (one-hot MXU contraction per pair chunk;
+    ~2.5x the XLA cumsum + boundary-gather at 8M pairs, more accurate).
     """
     return attrs[:, binned.gauss_ids]
 
@@ -248,8 +331,11 @@ def _gather_pairs_fwd(attrs, binned):
 
 def _gather_pairs_bwd(res, d_sorted):
     n, binned = res
+    p = binned.gauss_ids.shape[0]
+    pair_pos = jnp.arange(p, dtype=jnp.int32)
+    key = jnp.where(pair_pos < binned.num_pairs, binned.gauss_ids, n)
     sorted_back = jax.lax.sort(
-        (binned.perm,) + tuple(d_sorted), dimension=0, is_stable=False,
+        (key,) + tuple(d_sorted), dimension=0, is_stable=False,
         num_keys=1)
     d_pairs = jnp.stack(sorted_back[1:], axis=0)    # depth-order pairs
     d_attrs = segment_reduce(d_pairs, binned, n)    # (ROWS, N)

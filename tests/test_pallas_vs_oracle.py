@@ -198,22 +198,42 @@ def test_segment_reduce_matches_numpy():
     assert np.abs(got[:, counts == 0]).max() == 0.0
 
 
-def test_binning_gather_path_matches_scan_path(monkeypatch):
-    """The big-capacity pair expansion (binary search + gathers) must produce
-    exactly the scan-path binning."""
+def test_binning_matches_numpy_expansion():
+    """The Pallas pair-expansion kernel must reproduce a literal numpy
+    rect expansion: per-pair tile ids, gaussian ids, and tile ranges."""
     key = jax.random.PRNGKey(9)
     W = H = 64
     cam = T.look_at_camera((0, 0, -2.5), width=W, height=H)
     proj = _project(T.random_gaussians(key, 96), cam)
-    a = binning.bin_gaussians(proj, W, H, pair_capacity=4096)
-    monkeypatch.setattr(binning, "SCAN_PAIR_LIMIT", 0)
-    binning.bin_gaussians.clear_cache()
     b = binning.bin_gaussians(proj, W, H, pair_capacity=4096)
-    monkeypatch.undo()
-    binning.bin_gaussians.clear_cache()
-    for field in ("depth_order", "gauss_ids", "tile_ids", "tile_start",
-                  "tile_end"):
-        np.testing.assert_array_equal(np.asarray(getattr(a, field)),
-                                      np.asarray(getattr(b, field)),
-                                      err_msg=field)
-    assert int(a.num_pairs) == int(b.num_pairs)
+    gx, gy = binning.grid_shape(W, H)
+
+    # numpy reference: depth-sorted gaussians, row-major rect tiles.
+    order = np.argsort(np.asarray(proj.depth), kind="stable")
+    xmin, ymin, xmax, ymax = (
+        np.asarray(v)
+        for v in proj_ops.tile_rect(proj.mean2d, proj.radius, W, H))
+    ref_tiles, ref_gids = [], []
+    for dj, g in enumerate(order):
+        for ty in range(int(ymin[g]), int(ymax[g])):
+            for tx in range(int(xmin[g]), int(xmax[g])):
+                ref_tiles.append(ty * gx + tx)
+                ref_gids.append(dj)
+    ref_tiles = np.array(ref_tiles, np.int32)
+    ref_gids = np.array(ref_gids, np.int32)
+    npairs = int(b.num_pairs)
+    assert npairs == len(ref_tiles)
+    np.testing.assert_array_equal(np.asarray(b.gid_depth)[:npairs], ref_gids)
+    # tile-sorted pair list and per-tile ranges vs a stable argsort of the
+    # reference expansion.
+    ref_sort = np.argsort(ref_tiles, kind="stable")
+    np.testing.assert_array_equal(np.asarray(b.tile_ids)[:npairs],
+                                  ref_tiles[ref_sort])
+    np.testing.assert_array_equal(np.asarray(b.gauss_ids)[:npairs],
+                                  ref_gids[ref_sort])
+    starts = np.asarray(b.tile_start)
+    ends = np.asarray(b.tile_end)
+    for t in range(gx * gy):
+        lo = np.searchsorted(ref_tiles[ref_sort], t, side="left")
+        hi = np.searchsorted(ref_tiles[ref_sort], t, side="right")
+        assert starts[t] == lo and ends[t] == hi, t
