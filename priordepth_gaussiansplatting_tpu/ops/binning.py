@@ -58,25 +58,24 @@ _OFF_SENTINEL = 1 << 30
 class TileBinning:
     """Depth-sorted (Gaussian, tile) pair lists + per-tile ranges.
 
-    `depth_order` is the N-permutation sorting Gaussians front-to-back;
-    `gauss_ids` are indices into that DEPTH-SORTED space (compose with
-    `depth_order` for original indices)."""
+    `gauss_ids` are ORIGINAL Gaussian indices (the caller's array order):
+    attribute gathers read the projection outputs directly, with no
+    depth-permutation step in between (pairs are still depth-ordered
+    within each tile — the payload id space is independent of the
+    emission order). `seg_offsets`/`seg_counts` describe the pair list
+    RE-SORTED BY GAUSSIAN ID (the backward sort-back order): gaussian g's
+    cotangents occupy [seg_offsets[g], seg_offsets[g] + seg_counts[g])
+    there, capacity-dropped pairs already excluded."""
 
-    depth_order: jnp.ndarray  # (N,) int32
-    depth_inv: jnp.ndarray    # (N,) int32 — inverse of depth_order
-    gauss_ids: jnp.ndarray    # (P,) int32 — depth-space Gaussian per pair
-    gid_depth: jnp.ndarray    # (P,) int32 — ASCENDING Gaussian per depth-pair
+    depth_order: jnp.ndarray  # (N,) int32 — front-to-back Gaussian order
+    gauss_ids: jnp.ndarray    # (P,) int32 — ORIGINAL Gaussian per sorted pair
     tile_ids: jnp.ndarray     # (P,) int32 — tile index per sorted pair
     tile_start: jnp.ndarray   # (num_tiles,) int32
     tile_end: jnp.ndarray     # (num_tiles,) int32
-    seg_offsets: jnp.ndarray  # (N,) int32 — first pair of each gaussian
-    seg_counts: jnp.ndarray   # (N,) int32 — pairs per gaussian
+    seg_offsets: jnp.ndarray  # (N,) int32 — first cotangent slot of g
+    seg_counts: jnp.ndarray   # (N,) int32 — emitted (non-dropped) pairs of g
     num_pairs: jnp.ndarray    # () int32 — valid pairs (≤ P)
     overflow: jnp.ndarray     # () int32 — pairs dropped for capacity
-
-    def gauss_ids_original(self) -> jnp.ndarray:
-        """(P,) pair Gaussian ids in ORIGINAL (pre-depth-sort) indexing."""
-        return self.depth_order[self.gauss_ids]
 
 
 def grid_shape(width: int, height: int) -> tuple[int, int]:
@@ -169,9 +168,6 @@ def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
 
     # 1. depth order (culled Gaussians carry depth=inf → sort last).
     order = jnp.argsort(proj.depth).astype(jnp.int32)
-    ids_n = jnp.arange(order.shape[0], dtype=jnp.int32)
-    _, order_inv = jax.lax.sort((order, ids_n), dimension=0,
-                                is_stable=False, num_keys=1)
 
     # Rect geometry in ORIGINAL order, then ONE (2, N) lane-axis permute.
     # Gathers along a small minor dim ((N,2) mean2d rows) lower to scalar
@@ -189,6 +185,17 @@ def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
     offsets = jnp.cumsum(counts) - counts  # exclusive
     total = jnp.sum(counts)
 
+    # Effective (post-capacity-clip) pair count per gaussian, mapped back to
+    # ORIGINAL id order with one sort — this is the backward sort-back's
+    # segment table: gaussian g's cotangents land at
+    # [Σ_{h<g} eff[h], +eff[g]) once pairs are re-sorted by gaussian id.
+    counts_eff = jnp.minimum(counts, jnp.clip(p - offsets, 0))
+    _, counts_eff_orig = jax.lax.sort((order, counts_eff), dimension=0,
+                                      is_stable=False, num_keys=1)
+    seg_counts = counts_eff_orig
+    seg_offsets = (jnp.cumsum(counts_eff_orig) - counts_eff_orig).astype(
+        jnp.int32)
+
     # 2. compact the PRESENT gaussians' (offset, pack, id) into ascending
     # tables for the expansion kernel; a chunk of EXP_K pairs references a
     # window of ≤ EXP_K+1 consecutive present gaussians (each has ≥1 pair).
@@ -198,11 +205,12 @@ def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
     # here than the monotone-inverse searchsorted gather (1M binary-search
     # queries = 20 serial gather rounds, ~156 ms at N=1M), and a scatter is
     # far worse still (XLA TPU lowers it to a serial N-iteration loop).
-    ids = jnp.arange(n, dtype=jnp.int32)
+    # The id row carries ORIGINAL gaussian ids (`order`), so emitted pairs
+    # reference the caller's arrays directly.
     present = (counts > 0) & (offsets < p)
     n_pad = -(-(n + EXP_W) // 128) * 128
     off_c, pack_c, ids_c = jax.lax.sort(
-        (jnp.where(present, offsets, _OFF_SENTINEL), pack, ids),
+        (jnp.where(present, offsets, _OFF_SENTINEL), pack, order),
         dimension=0, is_stable=True, num_keys=1)
     pad = n_pad - n
     comp = jnp.concatenate([
@@ -256,14 +264,12 @@ def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
         (tile_ids, gid), dimension=0, is_stable=True, num_keys=1)
     return TileBinning(
         depth_order=order,
-        depth_inv=order_inv,
         gauss_ids=gid_sorted,
-        gid_depth=gid,
         tile_ids=tile_sorted,
         tile_start=tile_start,
         tile_end=tile_end,
-        seg_offsets=offsets,
-        seg_counts=counts,
+        seg_offsets=seg_offsets,
+        seg_counts=seg_counts,
         num_pairs=tot[0],
         overflow=jnp.maximum(total - p, 0).astype(jnp.int32),
     )
@@ -307,20 +313,22 @@ def unpack_attr_grads(d_attrs: jnp.ndarray) -> ProjectedGaussians:
 
 @jax.custom_vjp
 def gather_pairs(attrs: jnp.ndarray, binned: TileBinning) -> jnp.ndarray:
-    """(ROWS, N) depth-ordered attrs -> (ROWS, P) tile-sorted pair attrs.
+    """(ROWS, N) original-order attrs -> (ROWS, P) tile-sorted pair attrs.
 
     The VJP avoids both XLA's scatter-add AND the inverse-permutation
     gather (the two slowest candidates at multi-million pair counts,
     ~2.5x and ~1.4x slower respectively on TPU): pair cotangents are
-    sorted back to depth-pair segments keyed on the pair's Gaussian id,
-    carrying the attribute rows as sort payloads — TPU's sort moves
-    payload lanes in vector units where a random-index gather degrades to
-    element access. Per-Gaussian order within a segment is irrelevant
-    (only the sum survives), so the id itself is a sufficient key; padding
-    pairs are bumped past every real id so they sort after the last
-    segment. The reduction is then a contiguous segment sum — the Pallas
-    `segment_reduce` kernel (one-hot MXU contraction per pair chunk;
-    ~2.5x the XLA cumsum + boundary-gather at 8M pairs, more accurate).
+    sorted into contiguous per-Gaussian segments keyed on the pair's
+    (original) Gaussian id, carrying the attribute rows as sort payloads —
+    TPU's sort moves payload lanes in vector units where a random-index
+    gather degrades to element access. Per-Gaussian order within a
+    segment is irrelevant (only the sum survives), so the id itself is a
+    sufficient key; padding pairs are bumped past every real id so they
+    sort after the last segment. The reduction is then a contiguous
+    segment sum — the Pallas `segment_reduce` kernel (one-hot MXU
+    contraction per pair chunk; ~2.5x the XLA cumsum + boundary-gather at
+    8M pairs, more accurate) — whose output is already in the caller's
+    original Gaussian order (no inverse depth-permute step).
     """
     return attrs[:, binned.gauss_ids]
 
@@ -337,22 +345,23 @@ def _gather_pairs_bwd(res, d_sorted):
     sorted_back = jax.lax.sort(
         (key,) + tuple(d_sorted), dimension=0, is_stable=False,
         num_keys=1)
-    d_pairs = jnp.stack(sorted_back[1:], axis=0)    # depth-order pairs
-    d_attrs = segment_reduce(d_pairs, binned, n)    # (ROWS, N)
+    gid_sorted = sorted_back[0]                     # ascending gaussian ids
+    d_pairs = jnp.stack(sorted_back[1:], axis=0)    # id-segment pairs
+    d_attrs = segment_reduce(d_pairs, gid_sorted, binned, n)  # (ROWS, N)
     return d_attrs, None
 
 
 gather_pairs.defvjp(_gather_pairs_fwd, _gather_pairs_bwd)
 
 
-# --- depth-pair -> per-Gaussian segment reduction (Pallas) -----------------
+# --- id-sorted pair -> per-Gaussian segment reduction (Pallas) -------------
 #
 # After the sort-back, each Gaussian's pair cotangents are contiguous and
-# `gid_depth` is ascending, so a block of SEG_G consecutive Gaussians owns a
-# contiguous pair range. The kernel sweeps that range in chunks and reduces
-# chunk -> block with a one-hot MXU contraction — replacing the XLA
-# cumsum + boundary-gather (a (ROWS, N)-sized random gather, ~7x slower at
-# millions of pairs).
+# the sorted gaussian-id key is ascending, so a block of SEG_G consecutive
+# Gaussians owns a contiguous pair range. The kernel sweeps that range in
+# chunks and reduces chunk -> block with a one-hot MXU contraction —
+# replacing the XLA cumsum + boundary-gather (a (ROWS, N)-sized random
+# gather, ~7x slower at millions of pairs).
 
 SEG_G = 512    # gaussians per block (output lanes)
 SEG_K = 512    # pairs per chunk
@@ -421,9 +430,13 @@ def _segment_reduce_kernel(bounds_ref, d_hbm, gid_hbm, out_ref,
     out_ref[0] = acc
 
 
-def segment_reduce(d_pairs: jnp.ndarray, binned: TileBinning,
-                   n: int, interpret: bool | None = None) -> jnp.ndarray:
-    """Σ per Gaussian of depth-ordered pair rows: (ROWS, P) -> (ROWS, N)."""
+def segment_reduce(d_pairs: jnp.ndarray, gid_sorted: jnp.ndarray,
+                   binned: TileBinning, n: int,
+                   interpret: bool | None = None) -> jnp.ndarray:
+    """Σ per Gaussian of id-sorted pair rows: (ROWS, P) -> (ROWS, N).
+
+    `gid_sorted` is the ascending gaussian-id key the pairs were sorted by
+    (padding pairs carry id >= n and never match a block)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     rows, p = d_pairs.shape
@@ -434,7 +447,8 @@ def segment_reduce(d_pairs: jnp.ndarray, binned: TileBinning,
     bounds = jnp.concatenate(
         [starts, num_pairs[None]]).astype(jnp.int32)     # (nb+1,)
     d16 = jnp.pad(d_pairs, ((0, 16 - rows), (0, SEG_K)))
-    gid = jnp.pad(binned.gid_depth, (0, d16.shape[1] - p))[None, :]
+    gid = jnp.pad(gid_sorted, (0, d16.shape[1] - p),
+                  constant_values=n)[None, :]
     out = pl.pallas_call(
         _segment_reduce_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -457,47 +471,3 @@ def segment_reduce(d_pairs: jnp.ndarray, binned: TileBinning,
     return out.transpose(1, 0, 2).reshape(16, nb * SEG_G)[:rows, :n]
 
 
-@jax.custom_vjp
-def permute_lanes(x: jnp.ndarray, order: jnp.ndarray,
-                  order_inv: jnp.ndarray) -> jnp.ndarray:
-    """x[:, order] (lane-axis permutation) with a gather-only VJP.
-
-    Lane-axis gathers of a (ROWS, N) array vectorise on TPU; the same
-    permutation applied per-field to (N, c) arrays with tiny minor dims
-    (c=1..3) lowers to scalar row copies ~7x slower — so pack rows first,
-    then permute once here."""
-    return x[:, order]
-
-
-def _permute_lanes_fwd(x, order, order_inv):
-    return x[:, order], order_inv
-
-
-def _permute_lanes_bwd(order_inv, ct):
-    return ct[:, order_inv], None, None
-
-
-permute_lanes.defvjp(_permute_lanes_fwd, _permute_lanes_bwd)
-
-
-@jax.custom_vjp
-def permute_rows(x: jnp.ndarray, perm: jnp.ndarray,
-                 inv_perm: jnp.ndarray) -> jnp.ndarray:
-    """x[perm] along axis 0 with a gather-only VJP.
-
-    The transpose of a permutation gather is a permutation scatter, which
-    XLA executes poorly at scale; with the inverse permutation precomputed
-    (one integer sort in the binning), the cotangent is just ct[inv_perm].
-    """
-    return x[perm]
-
-
-def _permute_rows_fwd(x, perm, inv_perm):
-    return x[perm], inv_perm
-
-
-def _permute_rows_bwd(inv_perm, ct):
-    return ct[inv_perm], None, None
-
-
-permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)

@@ -505,14 +505,11 @@ def rasterize(proj: ProjectedGaussians, bg: jnp.ndarray,
     if interpret is None:
         interpret = _interpret_default()
     binned = binning.bin_gaussians(proj, width, height, pair_capacity)
-    # Pack attribute rows FIRST, then depth-permute along lanes and gather
-    # pair attributes in depth space (both differentiable lane gathers; the
-    # pair gather's VJP is the sort-back segment reduction). Packing before
-    # permuting keeps every gather on the fast lane axis — permuting the
-    # (N, c) proj fields directly costs ~7x more (scalar row copies).
-    attrs0 = binning.pack_attributes(proj)              # (NROW, N) original
-    attrs = binning.permute_lanes(attrs0, binned.depth_order,
-                                  binned.depth_inv)     # depth-ordered
+    # Pack attribute rows, then ONE lane-axis gather straight from original
+    # order to tile-sorted pair order (pair ids are original ids; no
+    # intermediate depth permutation). The gather's VJP is the sort-back
+    # segment reduction, which also lands directly in original order.
+    attrs = binning.pack_attributes(proj)               # (NROW, N) original
     sorted_attrs = binning.gather_pairs(attrs, binned)  # (NROW, P)
     # Mask padding pairs so junk never reaches the kernel or the VJP.
     pair_valid = (jnp.arange(pair_capacity) < binned.num_pairs)[None, :]

@@ -51,9 +51,7 @@ def _rasterize_tile_sharded(proj_full, bg, width: int, height: int,
     pair_capacity = rp.default_pair_capacity(n)
     binned = binning_lib.bin_gaussians(proj_full, width, height,
                                        pair_capacity)
-    attrs0 = binning_lib.pack_attributes(proj_full)
-    attrs = binning_lib.permute_lanes(attrs0, binned.depth_order,
-                                      binned.depth_inv)
+    attrs = binning_lib.pack_attributes(proj_full)
     sorted_attrs = binning_lib.gather_pairs(attrs, binned)
     pair_valid = (jnp.arange(pair_capacity) < binned.num_pairs)[None, :]
     sorted_attrs = jnp.where(pair_valid, sorted_attrs, 0.0)

@@ -42,8 +42,7 @@ def test_binning_covers_each_pair_once():
     # Pairs sorted by tile then depth.
     tids = np.asarray(b.tile_ids)[:npairs]
     assert (np.diff(tids) >= 0).all()
-    depth = np.asarray(proj.depth)[
-        np.asarray(b.gauss_ids_original())[:npairs]]
+    depth = np.asarray(proj.depth)[np.asarray(b.gauss_ids)[:npairs]]
     for t in range(gx * gy):
         s, e = starts[t], ends[t]
         if e - s > 1:
@@ -184,18 +183,26 @@ def test_segment_reduce_matches_numpy():
 
     d_np = np.random.default_rng(0).standard_normal(
         (binning.ATTR_ROWS, 1 << 15)).astype(np.float32)
-    got = np.asarray(binning.segment_reduce(jnp.asarray(d_np), b, n,
+    # id-sorted cotangents, as the gather VJP produces them: sort the pair
+    # cotangents by (original) gaussian id, padding keys past every real id.
+    key = np.asarray(b.gauss_ids).copy()
+    key[npairs:] = n
+    perm = np.argsort(key, kind="stable")
+    gid_sorted = jnp.asarray(key[perm])
+    d_sorted = jnp.asarray(d_np[:, perm])
+    got = np.asarray(binning.segment_reduce(d_sorted, gid_sorted, b, n,
                                             interpret=True))
-    offs = np.asarray(b.seg_offsets)
-    d64 = d_np[:, :npairs].astype(np.float64)
-    cum = np.concatenate([np.zeros((d64.shape[0], 1)),
-                          np.cumsum(d64, axis=1)], axis=1)
-    lo = np.clip(offs, 0, npairs)
-    hi = np.clip(offs + counts, 0, npairs)
-    truth = cum[:, hi] - cum[:, lo]
+    # ground truth: per-gaussian sums in float64 (order-independent).
+    truth = np.zeros((binning.ATTR_ROWS, n))
+    np.add.at(truth.T, key[:npairs], d_np[:, :npairs].T.astype(np.float64))
     np.testing.assert_allclose(got, truth, atol=2e-4)
     assert got.shape == (binning.ATTR_ROWS, n)
     assert np.abs(got[:, counts == 0]).max() == 0.0
+    # seg_offsets/seg_counts describe the id-sorted pair list.
+    offs = np.asarray(b.seg_offsets)
+    np.testing.assert_array_equal(offs, np.cumsum(counts) - counts)
+    np.testing.assert_array_equal(np.bincount(key[:npairs], minlength=n),
+                                  counts)
 
 
 def test_binning_matches_numpy_expansion():
@@ -214,16 +221,15 @@ def test_binning_matches_numpy_expansion():
         np.asarray(v)
         for v in proj_ops.tile_rect(proj.mean2d, proj.radius, W, H))
     ref_tiles, ref_gids = [], []
-    for dj, g in enumerate(order):
+    for g in order:
         for ty in range(int(ymin[g]), int(ymax[g])):
             for tx in range(int(xmin[g]), int(xmax[g])):
                 ref_tiles.append(ty * gx + tx)
-                ref_gids.append(dj)
+                ref_gids.append(int(g))   # ORIGINAL gaussian id
     ref_tiles = np.array(ref_tiles, np.int32)
     ref_gids = np.array(ref_gids, np.int32)
     npairs = int(b.num_pairs)
     assert npairs == len(ref_tiles)
-    np.testing.assert_array_equal(np.asarray(b.gid_depth)[:npairs], ref_gids)
     # tile-sorted pair list and per-tile ranges vs a stable argsort of the
     # reference expansion.
     ref_sort = np.argsort(ref_tiles, kind="stable")
