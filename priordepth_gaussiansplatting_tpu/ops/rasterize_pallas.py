@@ -126,10 +126,12 @@ def _fwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, color_ref, invd_ref,
                 t_ref, chunk_ref, sem, *, grid_x):
     """Forward compositing for one tile, double-buffered.
 
-    The chunk DMA is UNCONDITIONAL (start i+1's copy, wait i, compute) —
-    conditional DMAs inside lax.cond proved fragile on hardware, and the
-    early-termination work saving is instead realised by masking: dead
-    chunks cost one small DMA + masked VPU work.
+    Early termination is a REAL loop exit (lax.while_loop), not masking:
+    once every pixel's transmittance is below 1e-4 the remaining chunks'
+    DMAs and compute are skipped entirely. The pipeline keeps one chunk of
+    lookahead (body(i) issues i+1's copy before computing i), so at most
+    one prefetched DMA is outstanding at exit; the epilogue drains it
+    before the next tile reuses the buffers.
     """
     t = pl.program_id(0)
     astart, start, end, nchunks = _tile_range(start_ref, end_ref, t)
@@ -144,8 +146,12 @@ def _fwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, color_ref, invd_ref,
     def _():
         dma(0, 0).start()
 
-    def body(i, carry):
-        R, Tm, C, D = carry  # (PIX,1), (PIX,1), (PIX,3), (PIX,1)
+    def cond(carry):
+        i, R, *_ = carry
+        return (i < nchunks) & jnp.any(R >= T_EPS)
+
+    def body(carry):
+        i, R, Tm, C, D = carry  # (PIX,1), (PIX,1), (PIX,3), (PIX,1)
         slot = jax.lax.rem(i, 2)
         nxt = jax.lax.rem(i + 1, 2)
 
@@ -155,52 +161,50 @@ def _fwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, color_ref, invd_ref,
 
         dma(i, slot).wait()
         chunk = chunk_ref[slot]
-
-        def compute(carry):
-            R, Tm, C, D = carry
-            a_eff, keep, _, _, _, _ = _chunk_alpha(chunk, px, py, astart,
-                                                   start, end, i)
-            one_m = 1.0 - a_eff
-            # cumprod(one_m) = exp(cumsum(log one_m)); one_m >= 0.01 so the
-            # log is well-conditioned and the cumsum runs on the MXU.
-            log_om = jnp.log(one_m)
-            cls = _cumsum1(log_om)               # inclusive (PIX, K)
-            incl = R * jnp.exp(cls)
-            live = incl >= T_EPS
-            excl = incl / one_m
-            w = jnp.where(live, a_eff * excl, 0.0)
-            contract = (((1,), (1,)), ((), ()))
-            C = C + jax.lax.dot_general(
-                w, chunk[binning.ATTR_R:binning.ATTR_B + 1, :], contract,
-                preferred_element_type=jnp.float32)   # (PIX, 3)
-            D = D + jax.lax.dot_general(
-                w, chunk[binning.ATTR_ID:binning.ATTR_ID + 1, :], contract,
-                preferred_element_type=jnp.float32)   # (PIX, 1)
-            R = R * jnp.exp(cls[:, -1:])
-            # masked final transmittance: plain masked-log reduction.
-            Tm = Tm * jnp.exp(jnp.sum(jnp.where(live, log_om, 0.0),
-                                      axis=1, keepdims=True))
-            return R, Tm, C, D
-
-        # Early termination, compute-only: the DMA above stays
-        # unconditional (conditional DMAs are a hardware hazard); once every
-        # pixel is saturated the chunk's VPU/MXU work is skipped.
-        return jax.lax.cond(jnp.any(R >= T_EPS), compute, lambda c: c,
-                            (R, Tm, C, D))
+        a_eff, keep, _, _, _, _ = _chunk_alpha(chunk, px, py, astart,
+                                               start, end, i)
+        one_m = 1.0 - a_eff
+        # cumprod(one_m) = exp(cumsum(log one_m)); one_m >= 0.01 so the
+        # log is well-conditioned and the cumsum runs on the MXU.
+        log_om = jnp.log(one_m)
+        cls = _cumsum1(log_om)               # inclusive (PIX, K)
+        incl = R * jnp.exp(cls)
+        live = incl >= T_EPS
+        excl = incl / one_m
+        w = jnp.where(live, a_eff * excl, 0.0)
+        contract = (((1,), (1,)), ((), ()))
+        C = C + jax.lax.dot_general(
+            w, chunk[binning.ATTR_R:binning.ATTR_B + 1, :], contract,
+            preferred_element_type=jnp.float32)   # (PIX, 3)
+        D = D + jax.lax.dot_general(
+            w, chunk[binning.ATTR_ID:binning.ATTR_ID + 1, :], contract,
+            preferred_element_type=jnp.float32)   # (PIX, 1)
+        R = R * jnp.exp(cls[:, -1:])
+        # masked final transmittance: plain masked-log reduction.
+        Tm = Tm * jnp.exp(jnp.sum(jnp.where(live, log_om, 0.0),
+                                  axis=1, keepdims=True))
+        return i + 1, R, Tm, C, D
 
     T0 = jnp.ones((PIX, 1), jnp.float32)
     C0 = jnp.zeros((PIX, 3), jnp.float32)
     D0 = jnp.zeros((PIX, 1), jnp.float32)
-    _, Tm, C, D = jax.lax.fori_loop(
-        0, nchunks, body, (T0, jnp.ones((PIX, 1), jnp.float32), C0, D0))
+    i_fin, _, Tm, C, D = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), T0, jnp.ones((PIX, 1), jnp.float32),
+                     C0, D0))
     color_ref[0] = C
     invd_ref[0] = D
     t_ref[0] = Tm
 
+    # Drain the lookahead copy issued for the chunk after the exit point.
+    @pl.when(i_fin < nchunks)
+    def _():
+        dma(i_fin, jax.lax.rem(i_fin, 2)).wait()
+
 
 def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
-                dT_ref, ctot_ref, dtot_ref, tfin_ref, dattrs_hbm,
-                chunk_ref, gchunk_ref, sem, gsem, wsem, *, grid_x):
+                dT_ref, ctot_ref, dtot_ref, tfin_ref, dattrs_in_hbm,
+                dattrs_hbm, chunk_ref, gchunk_ref, sem, gsem, wsem, *,
+                grid_x):
     """Backward sweep, double-buffered like the forward.
 
     Per chunk: read the attrs chunk AND the current grad chunk
@@ -210,9 +214,10 @@ def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
     computes; the write of chunk i drains while i+1 computes (its slot is
     reclaimed at i+2). Within one tile all chunk ranges are disjoint, so
     the only write→read hazard is across grid steps (tiles sharing an
-    aligned chunk), handled by the epilogue waits. Chunks behind full
-    saturation (every pixel's transmittance < 1e-4) skip the math and
-    write zeros for their owned lanes (dattrs arrives uninitialised)."""
+    aligned chunk), handled by the epilogue waits. Early termination is a
+    real loop exit: `dattrs` arrives ZERO-INITIALISED (donated by the
+    caller via input_output_aliases), so chunks behind full saturation —
+    whose gradients are all zero — are never read, computed, or written."""
     t = pl.program_id(0)
     astart, start, end, nchunks = _tile_range(start_ref, end_ref, t)
     px, py = _pixel_coords(tid_ref[t], grid_x)
@@ -247,8 +252,12 @@ def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
         rdma(0, 0).start()
         gdma(0, 0).start()
 
-    def body(i, carry):
-        R, r_pref = carry  # (PIX,1), (PIX,1) — R: unmasked kept-product
+    def cond(carry):
+        i, R, _ = carry
+        return (i < nchunks) & jnp.any(R >= T_EPS)
+
+    def body(carry):
+        i, R, r_pref = carry  # R: (PIX,1) unmasked kept-product
         slot = jax.lax.rem(i, 2)
         nxt = jax.lax.rem(i + 1, 2)
 
@@ -319,32 +328,36 @@ def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
             r_pref = r_pref + cum_wrho[:, -1:]
             return new_g, R, r_pref
 
-        def dead(carry):
-            R, r_pref = carry
-            return jnp.zeros((ROWS, CHUNK), jnp.float32), R, r_pref
-
-        new_g, R, r_pref = jax.lax.cond(jnp.any(R >= T_EPS), compute, dead,
-                                        (R, r_pref))
+        new_g, R, r_pref = compute((R, r_pref))
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
         pos = astart + i * CHUNK + lane
         owned = (pos >= start) & (pos < end)
         gchunk_ref[slot] = jnp.where(owned, new_g, gchunk_ref[slot])
         wdma(i, slot).start()
-        return R, r_pref
+        return i + 1, R, r_pref
 
     T0 = jnp.ones((PIX, 1), jnp.float32)
     R0 = jnp.zeros((PIX, 1), jnp.float32)
-    jax.lax.fori_loop(0, nchunks, body, (T0, R0))
+    i_fin, _, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), T0, R0))
 
     # Drain outstanding writes before the next tile (which may share an
-    # aligned chunk with this one) issues its first grad read.
-    @pl.when(nchunks >= 2)
+    # aligned chunk with this one) issues its first grad read. body(i)
+    # waits wdma(i-1) only while more chunks follow, so at a normal exit
+    # (i_fin == nchunks) the last TWO writes are in flight; at an early
+    # exit only wdma(i_fin-1) is.
+    @pl.when((i_fin == nchunks) & (nchunks >= 2))
     def _():
-        wdma(nchunks - 2, jax.lax.rem(nchunks - 2, 2)).wait()
+        wdma(i_fin - 2, jax.lax.rem(i_fin - 2, 2)).wait()
 
-    @pl.when(nchunks >= 1)
+    @pl.when(i_fin >= 1)
     def _():
-        wdma(nchunks - 1, jax.lax.rem(nchunks - 1, 2)).wait()
+        wdma(i_fin - 1, jax.lax.rem(i_fin - 1, 2)).wait()
+
+    # Drain the lookahead reads issued for the chunk after an early exit.
+    @pl.when(i_fin < nchunks)
+    def _():
+        rdma(i_fin, jax.lax.rem(i_fin, 2)).wait()
+        gdma(i_fin, jax.lax.rem(i_fin, 2)).wait()
 
 
 def _tiles_to_image(tiles: jnp.ndarray, grid_x: int, grid_y: int,
@@ -425,6 +438,7 @@ def _make_composite(width: int, height: int, p_pad: int, interpret: bool,
                              memory_space=pltpu.VMEM),  # D_total
                 pl.BlockSpec((1, PIX, 1), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),  # T_fin
+                pl.BlockSpec(memory_space=pltpu.ANY),   # dattrs (zero init)
             ],
             out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # dattrs
             scratch_shapes=[
@@ -436,6 +450,10 @@ def _make_composite(width: int, height: int, p_pad: int, interpret: bool,
             ],
         ),
         out_shape=[jax.ShapeDtypeStruct((ROWS, p_pad), jnp.float32)],
+        # dattrs is donated zero-initialised storage: early-exited chunks
+        # are never written, so they must already hold zeros. Input index
+        # counts the scalar-prefetch operands (tile_ids, start, end).
+        input_output_aliases={10: 0},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
@@ -476,17 +494,14 @@ def _make_composite(width: int, height: int, p_pad: int, interpret: bool,
     def composite_bwd(res, cts):
         attrs, tile_ids, tile_start, tile_end, color_t, invd_t, t_t = res
         dC_t, dD_t, dT_t = disassemble(_zero_cts(cts))
+        # Zero-initialised donated gradient storage: the kernel only writes
+        # lanes it owns (in-range, pre-saturation), so skipped chunks and
+        # pairs outside this call's tile ranges stay exactly zero — sharded
+        # band calls can be psum'd without any post-masking.
+        d_init = jnp.zeros((ROWS, p_pad), jnp.float32)
         (d_attrs,) = bwd_call(tile_ids, tile_start, tile_end, attrs,
-                              dC_t, dD_t, dT_t, color_t, invd_t, t_t)
-        # The backward kernel only writes pairs inside this call's tile
-        # ranges (plus chunk-aligned overlap it preserves by RMW); pairs
-        # outside [first start, last end) hold garbage from HBM — zero them
-        # so sharded band calls can be psum'd safely.
-        lo = tile_start[0]
-        hi = tile_end[-1]
-        lane = jnp.arange(d_attrs.shape[1])
-        owned = (lane >= lo) & (lane < hi)
-        d_attrs = jnp.where(owned[None, :], d_attrs, 0.0)
+                              dC_t, dD_t, dT_t, color_t, invd_t, t_t,
+                              d_init)
         return d_attrs, None, None, None
 
     composite.defvjp(composite_fwd, composite_bwd)
