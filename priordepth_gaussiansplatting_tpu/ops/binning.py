@@ -62,18 +62,13 @@ class TileBinning:
     attribute gathers read the projection outputs directly, with no
     depth-permutation step in between (pairs are still depth-ordered
     within each tile — the payload id space is independent of the
-    emission order). `seg_offsets`/`seg_counts` describe the pair list
-    RE-SORTED BY GAUSSIAN ID (the backward sort-back order): gaussian g's
-    cotangents occupy [seg_offsets[g], seg_offsets[g] + seg_counts[g])
-    there, capacity-dropped pairs already excluded."""
+    emission order)."""
 
     depth_order: jnp.ndarray  # (N,) int32 — front-to-back Gaussian order
     gauss_ids: jnp.ndarray    # (P,) int32 — ORIGINAL Gaussian per sorted pair
     tile_ids: jnp.ndarray     # (P,) int32 — tile index per sorted pair
     tile_start: jnp.ndarray   # (num_tiles,) int32
     tile_end: jnp.ndarray     # (num_tiles,) int32
-    seg_offsets: jnp.ndarray  # (N,) int32 — first cotangent slot of g
-    seg_counts: jnp.ndarray   # (N,) int32 — emitted (non-dropped) pairs of g
     num_pairs: jnp.ndarray    # () int32 — valid pairs (≤ P)
     overflow: jnp.ndarray     # () int32 — pairs dropped for capacity
 
@@ -185,17 +180,6 @@ def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
     offsets = jnp.cumsum(counts) - counts  # exclusive
     total = jnp.sum(counts)
 
-    # Effective (post-capacity-clip) pair count per gaussian, mapped back to
-    # ORIGINAL id order with one sort — this is the backward sort-back's
-    # segment table: gaussian g's cotangents land at
-    # [Σ_{h<g} eff[h], +eff[g]) once pairs are re-sorted by gaussian id.
-    counts_eff = jnp.minimum(counts, jnp.clip(p - offsets, 0))
-    _, counts_eff_orig = jax.lax.sort((order, counts_eff), dimension=0,
-                                      is_stable=False, num_keys=1)
-    seg_counts = counts_eff_orig
-    seg_offsets = (jnp.cumsum(counts_eff_orig) - counts_eff_orig).astype(
-        jnp.int32)
-
     # 2. compact the PRESENT gaussians' (offset, pack, id) into ascending
     # tables for the expansion kernel; a chunk of EXP_K pairs references a
     # window of ≤ EXP_K+1 consecutive present gaussians (each has ≥1 pair).
@@ -268,8 +252,6 @@ def bin_gaussians(proj: ProjectedGaussians, width: int, height: int,
         tile_ids=tile_sorted,
         tile_start=tile_start,
         tile_end=tile_end,
-        seg_offsets=seg_offsets,
-        seg_counts=seg_counts,
         num_pairs=tot[0],
         overflow=jnp.maximum(total - p, 0).astype(jnp.int32),
     )
@@ -347,7 +329,7 @@ def _gather_pairs_bwd(res, d_sorted):
         num_keys=1)
     gid_sorted = sorted_back[0]                     # ascending gaussian ids
     d_pairs = jnp.stack(sorted_back[1:], axis=0)    # id-segment pairs
-    d_attrs = segment_reduce(d_pairs, gid_sorted, binned, n)  # (ROWS, N)
+    d_attrs = segment_reduce(d_pairs, gid_sorted, binned.num_pairs, n)
     return d_attrs, None
 
 
@@ -431,21 +413,25 @@ def _segment_reduce_kernel(bounds_ref, d_hbm, gid_hbm, out_ref,
 
 
 def segment_reduce(d_pairs: jnp.ndarray, gid_sorted: jnp.ndarray,
-                   binned: TileBinning, n: int,
+                   num_pairs: jnp.ndarray, n: int,
                    interpret: bool | None = None) -> jnp.ndarray:
     """Σ per Gaussian of id-sorted pair rows: (ROWS, P) -> (ROWS, N).
 
     `gid_sorted` is the ascending gaussian-id key the pairs were sorted by
-    (padding pairs carry id >= n and never match a block)."""
+    (padding pairs carry id >= n and never match a block). Block b's pair
+    range comes from a searchsorted over that key — nb+1 ≈ N/512 queries,
+    negligible next to an N-element sort."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     rows, p = d_pairs.shape
     nb = -(-n // SEG_G)
-    num_pairs = binned.num_pairs
-    # Block b's pair range starts at the first pair of gaussian b*SEG_G.
-    starts = jnp.clip(binned.seg_offsets[::SEG_G], 0, num_pairs)
-    bounds = jnp.concatenate(
-        [starts, num_pairs[None]]).astype(jnp.int32)     # (nb+1,)
+    # Block b owns gaussians [b*SEG_G, (b+1)*SEG_G) -> pair range
+    # [bounds[b], bounds[b+1]) in the id-sorted list (clipped to the real
+    # pair count so padding keys never extend the last block).
+    queries = jnp.arange(nb + 1, dtype=jnp.int32) * SEG_G
+    bounds = jnp.minimum(
+        jnp.searchsorted(gid_sorted, queries, side="left").astype(jnp.int32),
+        num_pairs)
     d16 = jnp.pad(d_pairs, ((0, 16 - rows), (0, SEG_K)))
     gid = jnp.pad(gid_sorted, (0, d16.shape[1] - p),
                   constant_values=n)[None, :]

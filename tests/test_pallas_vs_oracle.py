@@ -178,7 +178,7 @@ def test_segment_reduce_matches_numpy():
     b = binning.bin_gaussians(proj, W, H, pair_capacity=1 << 15)
     npairs = int(b.num_pairs)
     assert int(b.overflow) == 0
-    counts = np.asarray(b.seg_counts)
+    counts = np.bincount(np.asarray(b.gauss_ids)[:npairs], minlength=n)
     assert (counts == 0).any()  # some Gaussians bin to no tile
 
     d_np = np.random.default_rng(0).standard_normal(
@@ -190,19 +190,14 @@ def test_segment_reduce_matches_numpy():
     perm = np.argsort(key, kind="stable")
     gid_sorted = jnp.asarray(key[perm])
     d_sorted = jnp.asarray(d_np[:, perm])
-    got = np.asarray(binning.segment_reduce(d_sorted, gid_sorted, b, n,
-                                            interpret=True))
+    got = np.asarray(binning.segment_reduce(d_sorted, gid_sorted,
+                                            b.num_pairs, n, interpret=True))
     # ground truth: per-gaussian sums in float64 (order-independent).
     truth = np.zeros((binning.ATTR_ROWS, n))
     np.add.at(truth.T, key[:npairs], d_np[:, :npairs].T.astype(np.float64))
     np.testing.assert_allclose(got, truth, atol=2e-4)
     assert got.shape == (binning.ATTR_ROWS, n)
     assert np.abs(got[:, counts == 0]).max() == 0.0
-    # seg_offsets/seg_counts describe the id-sorted pair list.
-    offs = np.asarray(b.seg_offsets)
-    np.testing.assert_array_equal(offs, np.cumsum(counts) - counts)
-    np.testing.assert_array_equal(np.bincount(key[:npairs], minlength=n),
-                                  counts)
 
 
 def test_binning_matches_numpy_expansion():

@@ -104,8 +104,8 @@ def main(argv):
     gid_sorted = sb[0]
     d_pairs = jnp.stack(sb[1:], axis=0)
     bench("bwd segment_reduce",
-          lambda d: binning.segment_reduce(d, gid_sorted, binned, n),
-          d_pairs)
+          lambda d: binning.segment_reduce(d, gid_sorted, binned.num_pairs,
+                                           n), d_pairs)
 
     def proj_vjp(p):
         _, vjp = jax.vjp(project, p)
