@@ -40,6 +40,10 @@ def main(argv=None):
     parser.add_argument("--disable_viewer", action="store_true")
     parser.add_argument("--detect_anomaly", action="store_true",
                         help="jax_debug_nans (reference --detect_anomaly)")
+    parser.add_argument("--debug_from", type=int, default=-1,
+                        help="enable jax_debug_nans from this iteration "
+                             "(reference train.py --debug_from: turns on "
+                             "the rasterizer debug path late in a run)")
     parser.add_argument("--profile", action="store_true",
                         help="write a jax.profiler trace to <model>/trace")
     args = parser.parse_args(argv)
@@ -77,6 +81,11 @@ def main(argv=None):
             print(f"network GUI disabled: {e}")
 
     def poll_gui(tr, it, metrics):
+        if args.debug_from >= 0 and it == args.debug_from:
+            # Reference parity: pipe.debug flips on at --debug_from so the
+            # rasterizer dumps state on a crash; the jax equivalent is the
+            # NaN-checking debug mode (reference train.py:138-139).
+            jax.config.update("jax_debug_nans", True)
         if gui is not None:
             gui.poll(tr.state, tr.bg,
                      training_done=it >= opt_cfg.iterations,
@@ -92,7 +101,8 @@ def main(argv=None):
             test_iterations=set(args.test_iterations),
             save_iterations=set(args.save_iterations),
             checkpoint_iterations=set(args.checkpoint_iterations),
-            on_iteration=poll_gui if gui is not None else None)
+            on_iteration=(poll_gui if gui is not None
+                          or args.debug_from >= 0 else None))
     print(f"\nTraining complete: {result}")
     return result
 
