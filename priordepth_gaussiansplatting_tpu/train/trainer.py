@@ -81,6 +81,10 @@ class Trainer:
         total = iterations if iterations is not None else opt.iterations
         t_start = time.time()
         first = self.iteration + 1
+        test_iterations = set(test_iterations)
+        save_iterations = set(save_iterations)
+        checkpoint_iterations = set(checkpoint_iterations)
+        pending = []  # (iteration, device-metrics) awaiting host pull
         for it in range(first, total + 1):
             self.iteration = it
             # SH degree bump every 1000 iters (`train.py:126-127`).
@@ -118,24 +122,33 @@ class Trainer:
             if opt.floating_prune_iter and it == opt.floating_prune_iter:
                 self.run_floating_prune()
 
-            loss = float(metrics["loss"])
-            self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
-            if "num_pairs" in metrics and it % 100 == 0:
-                self._adapt_pair_capacity(int(metrics["num_pairs"]),
-                                          int(metrics["overflow"]))
-            if it % 10 == 0:
-                # Reference TB scalar names (train.py:402-445).
-                self.logger.scalars({
-                    "train_loss_patches/l1_loss": float(metrics["l1"]),
-                    "train_loss_patches/total_loss": loss,
-                    "total_points": int(metrics["n_active"]),
-                    "iter_time": time.time() - t_start,
-                }, it)
-            if not self.quiet and it % 100 == 0:
-                n_act = int(metrics["n_active"])
-                print(f"[it {it}/{total}] loss {self.ema_loss:.5f} "
-                      f"gaussians {n_act} "
-                      f"({(time.time() - t_start):.1f}s)", flush=True)
+            # Defer materialising device metrics: a float() every step
+            # blocks the host on the step's completion and kills the
+            # dispatch pipeline. Metrics batch up as device scalars and are
+            # pulled every 10 iterations (and before any event that needs
+            # them), so steps i..i+9 stay queued on the device.
+            pending.append((it, metrics))
+            if (it % 10 == 0 or it >= total or it in test_iterations
+                    or it in save_iterations or it in checkpoint_iterations):
+                for jt, m in pending:
+                    loss = float(m["loss"])
+                    self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
+                    if "num_pairs" in m and jt % 100 == 0:
+                        self._adapt_pair_capacity(int(m["num_pairs"]),
+                                                  int(m["overflow"]))
+                    if jt % 10 == 0:
+                        # Reference TB scalar names (train.py:402-445).
+                        self.logger.scalars({
+                            "train_loss_patches/l1_loss": float(m["l1"]),
+                            "train_loss_patches/total_loss": loss,
+                            "total_points": int(m["n_active"]),
+                            "iter_time": time.time() - t_start,
+                        }, jt)
+                    if not self.quiet and jt % 100 == 0:
+                        print(f"[it {jt}/{total}] loss {self.ema_loss:.5f} "
+                              f"gaussians {int(m['n_active'])} "
+                              f"({(time.time() - t_start):.1f}s)", flush=True)
+                pending.clear()
 
             if it in test_iterations:
                 self.report(it)
