@@ -65,6 +65,47 @@ def main(argv):
     binned, _ = bench("bin_gaussians",
                       lambda pr: binning.bin_gaussians(pr, w, h, cap), proj)
 
+    # bin_gaussians internals (mirrors its stages).
+    import jax.numpy as _jnp
+    from priordepth_gaussiansplatting_tpu.ops.projection import tile_rect
+
+    def _rects(pr):
+        gx, gy = binning.grid_shape(w, h)
+        xmin, ymin, xmax, ymax = tile_rect(pr.mean2d, pr.radius, w, h)
+        nx = (xmax - xmin).astype(_jnp.int32)
+        counts_u = nx * (ymax - ymin).astype(_jnp.int32)
+        pack_u = ((ymin * gx + xmin) * binning.RECT_PACK
+                  + _jnp.minimum(nx, binning.RECT_PACK - 1))
+        return pack_u, counts_u
+
+    order, _ = bench("  depth argsort (N)",
+                     lambda pr: jnp.argsort(pr.depth).astype(jnp.int32), proj)
+    (pack_u, counts_u), _ = bench("  rect+pack (N)", _rects, proj)
+    packed_s = jnp.stack([pack_u, counts_u])[:, order]
+    counts = packed_s[1]
+    offsets = jnp.cumsum(counts) - counts
+    bench("  permute+cumsum (N)",
+          lambda ps: (lambda c: jnp.cumsum(c) - c)(ps[1]),
+          jnp.stack([pack_u, counts_u])[:, order])
+    present = (counts > 0) & (offsets < cap)
+    bench("  compaction sort (N x3)",
+          lambda o, pk, od: jax.lax.sort(
+              (jnp.where(present, o, binning._OFF_SENTINEL), pk, od),
+              dimension=0, is_stable=True, num_keys=1),
+          offsets, packed_s[0], order)
+    nbq = cap // binning.EXP_K
+    off_c = jax.lax.sort(
+        (jnp.where(present, offsets, binning._OFF_SENTINEL),),
+        dimension=0, num_keys=1)[0]
+    bench("  window searchsorted (P/K)",
+          lambda oc: jnp.searchsorted(
+              oc, jnp.arange(nbq, dtype=jnp.int32) * binning.EXP_K,
+              side="left"), off_c)
+    bench("  tile sort (P x2)",
+          lambda t, g: jax.lax.sort((t, g), dimension=0, is_stable=True,
+                                    num_keys=1),
+          binned.tile_ids, binned.gauss_ids)
+
     attrs, _ = bench("pack_attributes", binning.pack_attributes, proj)
     sorted_attrs, _ = bench("gather_pairs fwd",
                             lambda a: a[:, binned.gauss_ids], attrs)
