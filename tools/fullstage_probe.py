@@ -65,7 +65,9 @@ def main(argv):
     binned, _ = bench("bin_gaussians",
                       lambda pr: binning.bin_gaussians(pr, w, h, cap), proj)
 
-    # bin_gaussians internals (mirrors its stages).
+    # bin_gaussians internals — APPROXIMATE re-implementation of its stages
+    # for timing only (e.g. searchsorted runs over the unpadded table);
+    # treat the numbers as stage estimates, not exact decompositions.
     import jax.numpy as _jnp
     from priordepth_gaussiansplatting_tpu.ops.projection import tile_rect
 
@@ -85,8 +87,9 @@ def main(argv):
     counts = packed_s[1]
     offsets = jnp.cumsum(counts) - counts
     bench("  permute+cumsum (N)",
-          lambda ps: (lambda c: jnp.cumsum(c) - c)(ps[1]),
-          jnp.stack([pack_u, counts_u])[:, order])
+          lambda pu, cu, o: (lambda c: jnp.cumsum(c) - c)(
+              jnp.stack([pu, cu])[:, o][1]),
+          pack_u, counts_u, order)
     present = (counts > 0) & (offsets < cap)
     bench("  compaction sort (N x3)",
           lambda o, pk, od: jax.lax.sort(

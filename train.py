@@ -81,7 +81,7 @@ def main(argv=None):
             print(f"network GUI disabled: {e}")
 
     def poll_gui(tr, it, metrics):
-        if args.debug_from >= 0 and it == args.debug_from:
+        if args.debug_from >= 0 and it == max(args.debug_from, 1):
             # Reference parity: pipe.debug flips on at --debug_from so the
             # rasterizer dumps state on a crash; the jax equivalent is the
             # NaN-checking debug mode (reference train.py:138-139).
