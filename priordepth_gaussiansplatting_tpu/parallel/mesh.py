@@ -65,3 +65,32 @@ def adam_spec() -> AdamState:
 def camera_batch_spec(camera_template):
     """Cameras stacked on a leading batch axis, sharded over DATA_AXIS."""
     return jax.tree.map(lambda _: P(DATA_AXIS), camera_template)
+
+
+def initialize_multihost(coordinator_address: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> bool:
+    """Join a multi-host run via `jax.distributed.initialize`.
+
+    The TPU-native replacement for the reference's
+    `torch.distributed.init_process_group` NCCL setup (ZoeDepth
+    `utils/misc.py:262-276`, SURVEY.md §5.8): afterwards `jax.devices()`
+    spans every host's chips and the meshes built here lay DATA over the
+    DCN-adjacent axis. Arguments default to the standard environment
+    (COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID, or the TPU metadata
+    autodetection inside jax). Returns True if a multi-process run was
+    initialised, False for the single-process case (no env, no args) —
+    callers can treat False as "rank 0 of 1". Rank-0 gating (the
+    reference's `rank == 0` checks) maps to `jax.process_index() == 0`.
+    """
+    import os
+    if (coordinator_address is None and num_processes is None
+            and process_id is None
+            and "COORDINATOR_ADDRESS" not in os.environ
+            and "JAX_COORDINATOR_ADDRESS" not in os.environ
+            and "MEGASCALE_COORDINATOR_ADDRESS" not in os.environ):
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True

@@ -125,3 +125,27 @@ def test_tile_sharded_matches_unsharded():
     assert results[0][0] == pytest.approx(results[1][0], rel=1e-5)
     np.testing.assert_allclose(results[1][1], results[0][1], atol=1e-6)
     np.testing.assert_allclose(results[1][2], results[0][2], atol=1e-4)
+
+
+def test_initialize_multihost_single_process_noop(monkeypatch):
+    """Without coordinator env/args this is a single-process run: the
+    helper must return False and NOT call jax.distributed.initialize."""
+    from priordepth_gaussiansplatting_tpu.parallel import mesh as mesh_lib
+    called = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: called.append(kw))
+    for var in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                "MEGASCALE_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(var, raising=False)
+    assert mesh_lib.initialize_multihost() is False
+    assert not called
+
+
+def test_initialize_multihost_forwards_args(monkeypatch):
+    from priordepth_gaussiansplatting_tpu.parallel import mesh as mesh_lib
+    called = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: called.append(kw))
+    assert mesh_lib.initialize_multihost("10.0.0.1:1234", 2, 1) is True
+    assert called == [{"coordinator_address": "10.0.0.1:1234",
+                       "num_processes": 2, "process_id": 1}]
