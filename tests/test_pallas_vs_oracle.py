@@ -238,3 +238,40 @@ def test_binning_matches_numpy_expansion():
         lo = np.searchsorted(ref_tiles[ref_sort], t, side="left")
         hi = np.searchsorted(ref_tiles[ref_sort], t, side="right")
         assert starts[t] == lo and ends[t] == hi, t
+
+
+def test_early_exit_multichunk_matches_oracle_with_grads():
+    """A tile whose pair list spans several CHUNKs and saturates early
+    exercises the while-loop early exit in BOTH kernels: skipped chunks'
+    pairs must contribute zero gradient and the zero-donated grad buffer
+    must hold exact zeros there (fwd image + all param grads vs oracle)."""
+    key = jax.random.PRNGKey(17)
+    W = H = 32  # 2x2 tile grid
+    cam = T.look_at_camera((0, 0, -2.0), width=W, height=H)
+    n = 700  # every gaussian covers the whole grid -> ~700 pairs/tile
+    params = T.random_gaussians(key, n, extent=0.05,
+                                scale_range=(0.3, 0.6),
+                                opacity_range=(0.8, 0.99))
+    assert 700 > 2 * rp.CHUNK  # at least three chunks per tile
+
+    def loss(p, backend):
+        proj = _project(p, cam)
+        if backend == "oracle":
+            out = ref_ops.rasterize_reference(proj, jnp.zeros(3), W, H)
+        else:
+            out = rp.rasterize(proj, jnp.zeros(3), W, H,
+                               pair_capacity=4096, interpret=True)
+        return (jnp.sum(out["render"] ** 2) + jnp.sum(out["invdepth"])
+                + jnp.sum(out["final_T"]))
+
+    f_ref = float(loss(params, "oracle"))
+    f_pal = float(loss(params, "pallas"))
+    np.testing.assert_allclose(f_pal, f_ref, rtol=1e-4)
+    g_ref = jax.grad(lambda p: loss(p, "oracle"))(params)
+    g_pal = jax.grad(lambda p: loss(p, "pallas"))(params)
+    for name in g_ref:
+        ref = np.asarray(g_ref[name])
+        pal = np.asarray(g_pal[name])
+        scale = np.abs(ref).max() + 1e-8
+        np.testing.assert_allclose(pal / scale, ref / scale, atol=2e-4,
+                                   err_msg=f"grad mismatch for {name}")
