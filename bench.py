@@ -89,30 +89,51 @@ def main():
             cam.world_view, cam.full_proj, cam.cam_center,
             WIDTH, HEIGHT, cam.tan_fovx, cam.tan_fovy, antialiasing=True)
 
-    # Adaptive pair capacity, as the trainer maintains it at steady state
-    # (Trainer._adapt_pair_capacity): one probe binning measures the scene's
-    # real (Gaussian, tile) pair count; the camera is fixed here, so a thin
-    # 1.1× headroom suffices (the CUDA reference allocates exactly).
+    # Adaptive pair capacities, as the trainer maintains them at steady
+    # state: one probe binning measures the scene's rect pair count (bounds
+    # the expansion) and surviving pair count (bounds the composite-side
+    # work); the camera is fixed here, so thin headroom suffices (the CUDA
+    # reference allocates exactly).
     from priordepth_gaussiansplatting_tpu.ops import binning
     probe_cap = rp.default_pair_capacity(N_GAUSS)
-    probe = jax.jit(lambda p: binning.bin_gaussians(
-        project(p), WIDTH, HEIGHT, probe_cap).num_pairs)(params)
-    p_cap = rp.round_capacity(int(int(probe) * 1.1))
+    _, aux = jax.jit(lambda p: binning.bin_sorted_pairs(
+        project(p), WIDTH, HEIGHT, probe_cap))(params)
+    p_cap = rp.round_capacity(int(int(aux["num_rect"]) * 1.05))
+    v_cap = rp.round_capacity(int(int(aux["num_valid"]) * 1.05))
 
     def loss_fn(p):
         out = rp.rasterize(project(p), jnp.zeros(3), WIDTH, HEIGHT,
-                           pair_capacity=p_cap)
+                           pair_capacity=p_cap, valid_capacity=v_cap)
         return (jnp.mean((out["render"] - target) ** 2)
                 + 0.01 * jnp.mean(out["invdepth"]))
 
-    step = jax.jit(jax.grad(loss_fn))
-    g = step(params)  # compile
-    jax.block_until_ready(g)
-    t0 = time.time()
-    for _ in range(ITERS):
-        g = step(params)
-    jax.block_until_ready(g)
-    dt = (time.time() - t0) / ITERS
+    # The axon tunnel runtime is lazy: results that nothing observes may
+    # never execute, so time a DEPENDENCY CHAIN of steps (each step's
+    # params are perturbed by a runtime-zero of the previous gradient's
+    # norm) and difference two chain lengths to cancel the host round trip.
+    def step(p, s):
+        g = jax.grad(loss_fn)(p)
+        # s2 folds every gradient leaf (nothing is dead); p2 depends on s2,
+        # so successive steps form an unelidable chain of full executions.
+        s2 = sum(jnp.ravel(x)[-1].astype(jnp.float32)
+                 for x in jax.tree.leaves(g))
+        p2 = jax.tree.map(lambda x: x + (s2 * 1e-38).astype(x.dtype), p)
+        return p2, s2
+
+    step = jax.jit(step)
+
+    def run(k):
+        p, s = params, jnp.float32(0.0)
+        t0 = time.time()
+        for _ in range(k):
+            p, s = step(p, s)
+        float(s)
+        return time.time() - t0
+
+    run(1)  # compile
+    lo = run(2)
+    hi = run(ITERS + 2)
+    dt = max(hi - lo, 1e-9) / ITERS
     rays_per_s = WIDTH * HEIGHT / dt
     wd.cancel()
     print(json.dumps({

@@ -18,7 +18,10 @@ def compute_errors(gt: np.ndarray, pred: np.ndarray) -> dict:
     rmse = float(np.sqrt(((gt - pred) ** 2).mean()))
     rmse_log = float(np.sqrt(((np.log(gt) - np.log(pred)) ** 2).mean()))
     err = np.log(pred) - np.log(gt)
-    silog = float(np.sqrt(np.mean(err ** 2) - np.mean(err) ** 2) * 100)
+    # Variance clamped at 0: float cancellation can drive E[e^2]-E[e]^2
+    # fractionally negative for near-constant errors, which NaN'd silog.
+    silog = float(
+        np.sqrt(max(np.mean(err ** 2) - np.mean(err) ** 2, 0.0)) * 100)
     log_10 = float(np.mean(np.abs(np.log10(gt) - np.log10(pred))))
     return dict(a1=a1, a2=a2, a3=a3, abs_rel=abs_rel, rmse=rmse,
                 log_10=log_10, rmse_log=rmse_log, silog=silog,

@@ -40,7 +40,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .projection import TILE, ProjectedGaussians, tile_rect
+from .projection import (TILE, ProjectedGaussians, tile_rect,
+                         tile_rect_tight)
 
 # Rect packing: pack = tile_base * RECT_PACK + nx. Supports nx < 256 tiles
 # per row, i.e. image widths up to 256*16 = 4096 px.
@@ -48,7 +49,9 @@ RECT_PACK = 256
 
 # Pair-expansion kernel geometry: K pairs per chunk, window of W present
 # Gaussians (W ≥ K + DMA alignment slack 128 + 2; multiple of 128).
-EXP_K = 512
+# K = 1024 keeps the per-field (K/128, 128) output blocks at the TPU's
+# (8, 128) block-shape minimum.
+EXP_K = 1024
 EXP_W = EXP_K + 256
 _OFF_SENTINEL = 1 << 30
 
@@ -336,6 +339,43 @@ def _gather_pairs_bwd(res, d_sorted):
 gather_pairs.defvjp(_gather_pairs_fwd, _gather_pairs_bwd)
 
 
+@jax.custom_vjp
+def gather_pairs_padded(attrs: jnp.ndarray, ids_pad: jnp.ndarray,
+                        num_pairs: jnp.ndarray) -> jnp.ndarray:
+    """Like :func:`gather_pairs` but on a pre-padded id vector.
+
+    `attrs` is (ROWS_pad, N) (already sublane-padded for the compositor);
+    `ids_pad` is the tile-sorted Gaussian ids padded with trailing junk to
+    the kernel's lane capacity. The output needs no masking: junk lanes are
+    outside every tile range, so the compositor never reads them and its
+    VJP never writes them. The VJP masks on `num_pairs` when sorting back,
+    exactly as gather_pairs does."""
+    return attrs[:, ids_pad]
+
+
+def _gather_pairs_padded_fwd(attrs, ids_pad, num_pairs):
+    return attrs[:, ids_pad], (attrs.shape[1], ids_pad, num_pairs)
+
+
+def _gather_pairs_padded_bwd(res, d_sorted):
+    n, ids_pad, num_pairs = res
+    p = ids_pad.shape[0]
+    pair_pos = jnp.arange(p, dtype=jnp.int32)
+    key = jnp.where(pair_pos < num_pairs, ids_pad, n)
+    rows = d_sorted.shape[0]
+    sorted_back = jax.lax.sort(
+        (key,) + tuple(d_sorted[i] for i in range(ATTR_ROWS)),
+        dimension=0, is_stable=False, num_keys=1)
+    gid_sorted = sorted_back[0]
+    d_pairs = jnp.stack(sorted_back[1:], axis=0)
+    d_attrs = segment_reduce(d_pairs, gid_sorted, num_pairs, n)
+    d_attrs = jnp.pad(d_attrs, ((0, rows - ATTR_ROWS), (0, 0)))
+    return d_attrs, None, None
+
+
+gather_pairs_padded.defvjp(_gather_pairs_padded_fwd, _gather_pairs_padded_bwd)
+
+
 # --- id-sorted pair -> per-Gaussian segment reduction (Pallas) -------------
 #
 # After the sort-back, each Gaussian's pair cotangents are contiguous and
@@ -457,3 +497,472 @@ def segment_reduce(d_pairs: jnp.ndarray, gid_sorted: jnp.ndarray,
     return out.transpose(1, 0, 2).reshape(16, nb * SEG_G)[:rows, :n]
 
 
+
+# ===========================================================================
+# Fused binning: ONE depth sort carrying attributes, a pair-expansion kernel
+# that emits per-pair ATTRIBUTES (exact one-hot MXU gather from the windowed
+# table) and culls (Gaussian, tile) pairs whose peak alpha in the tile is
+# below 1/255 (exact ellipse-vs-tile-box test — output-preserving, the
+# compositor skips those pairs anyway), and ONE tile sort carrying the
+# attributes as payloads. This replaces the round-1 pipeline's P-sized
+# random-index attribute gather (the slowest stage on TPU: sorts move
+# payload lanes in vector units, random gathers degrade to element access)
+# and its separate N-sized compaction sort / depth permute.
+#
+# Gradients: the whole block is wrapped in ONE custom VJP whose backward is
+# the id-keyed sort-back + Pallas segment reduction (pair cotangents ->
+# original-order per-Gaussian cotangents), exactly the round-1 reduction.
+# ===========================================================================
+
+_ALPHA_MIN = 1.0 / 255.0
+# f32-exact integer limits for the one-hot MXU recovery (HIGHEST precision
+# keeps full f32: one nonzero term per row, no cancellation).
+_F32_INT_MAX = 1 << 23
+_LO_MOD = 1 << 17   # offsets are recovered mod 2^17 (rank < rect area < 2^17)
+
+# f32 window-table rows (attrs follow ATTR_* at offset _CF_A0).
+_CF_OFFLO, _CF_PACK, _CF_GID, _CF_A0 = 0, 1, 2, 3
+_CF_ROWS = 16
+
+
+def _exclusive_cumsum_i32(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact exclusive cumsum of non-negative int32 (and the total).
+
+    XLA's 1-D cumsum at N=1M costs ~5 ms on TPU; this runs the row-local
+    scans as (B, L) x (L, L) triangular matmuls (exact in f32: row sums stay
+    far below 2^24) and accumulates across rows in int32 (exact to 2^31)."""
+    n = x.shape[0]
+    L = 512
+    b = -(-n // L)
+    xp = jnp.pad(x, (0, b * L - n)).reshape(b, L).astype(jnp.float32)
+    r = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    tri = (r <= c).astype(jnp.float32)
+    incl = jax.lax.dot_general(
+        xp, tri, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32).astype(jnp.int32)   # (b, L)
+    row_tot = incl[:, -1]
+    row_off = jnp.cumsum(row_tot) - row_tot                      # (b,) i32
+    excl = incl - xp.astype(jnp.int32) + row_off[:, None]
+    total = row_off[-1] + row_tot[-1]
+    return excl.reshape(-1)[:n], total
+
+
+def _expand_attrs_kernel_factory(grid_x: int, grid_y: int,
+                                 gyp: int, gxp: int):
+    num_tiles = grid_x * grid_y
+
+    def kernel(s0_ref, tot_ref, compi_hbm, compf_hbm, tile_ref, gid_ref,
+               hist_ref, *attr_refs_and_scratch):
+        attr_refs = attr_refs_and_scratch[:ATTR_ROWS]
+        wibuf, wfbuf, wisem, wfsem = attr_refs_and_scratch[ATTR_ROWS:]
+        c = pl.program_id(0)
+        nb = pl.num_programs(0)
+
+        def dma_i(i, slot):
+            start = pl.multiple_of(s0_ref[i], 128)
+            return pltpu.make_async_copy(
+                compi_hbm.at[:, pl.ds(start, EXP_W)],
+                wibuf.at[slot], wisem.at[slot])
+
+        def dma_f(i, slot):
+            start = pl.multiple_of(s0_ref[i], 128)
+            return pltpu.make_async_copy(
+                compf_hbm.at[:, pl.ds(start, EXP_W)],
+                wfbuf.at[slot], wfsem.at[slot])
+
+        @pl.when(c == 0)
+        def _():
+            dma_i(0, 0).start()
+            dma_f(0, 0).start()
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < nb)
+        def _():
+            dma_i(c + 1, 1 - slot).start()
+            dma_f(c + 1, 1 - slot).start()
+        dma_i(c, slot).wait()
+        dma_f(c, slot).wait()
+        offs = wibuf[slot, 0:1, :]                     # (1, W) int32, exact
+        winf = wfbuf[slot]                             # (16, W) f32
+
+        ksub = jax.lax.broadcasted_iota(jnp.int32, (EXP_K, 1), 0)
+        pos_s = c * EXP_K + ksub                       # (K, 1) int32
+        cmp = (pos_s >= offs).astype(jnp.float32)      # (K, W)
+        # one-hot of the OWNING gaussian (last offset <= pos).
+        shifted = jnp.concatenate(
+            [cmp[:, 1:], jnp.zeros((EXP_K, 1), jnp.float32)], axis=1)
+        onehot = cmp - shifted                         # (K, W)
+        # Exact one-hot gather of (off_lo, pack, gid, attrs...): HIGHEST
+        # keeps full f32 (single nonzero term per output, no cancellation).
+        sel = jax.lax.dot_general(
+            winf, onehot, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)        # (16, K)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, EXP_K), 1)
+        pos = c * EXP_K + lane                         # (1, K) int32
+        offlo_sel = sel[_CF_OFFLO:_CF_OFFLO + 1]
+        pack_sel = sel[_CF_PACK:_CF_PACK + 1]
+        gid_sel = sel[_CF_GID:_CF_GID + 1]
+        attrs = sel[_CF_A0:_CF_A0 + ATTR_ROWS]         # (10, K)
+        # rank = pos - offset, recovered mod 2^17 (rank < rect area < 2^17;
+        # full offsets can exceed f32's exact-integer range at stress pair
+        # counts, the mod-2^17 residue cannot).
+        pos_lo = (pos % _LO_MOD).astype(jnp.float32)
+        r0 = pos_lo - offlo_sel
+        rank = r0 + jnp.where(r0 < 0, float(_LO_MOD), 0.0)
+        base = jnp.floor(pack_sel * (1.0 / RECT_PACK))
+        nx = jnp.maximum(pack_sel - base * RECT_PACK, 1.0)
+        q = jnp.floor((rank + 0.5) / nx)
+        r = rank - q * nx
+        tile = base + q * grid_x + r                   # (1, K) f32 exact int
+
+        # --- exact ellipse-vs-tile cull (output-preserving) -------------
+        # keep iff the peak alpha over the tile's pixel box can reach
+        # 1/255: min_box q(d) <= 2*ln(op/alpha_min), with the exact min of
+        # the PD quadratic over the box = 0 inside, else the min over the
+        # four edges (each edge's constrained minimum in closed form).
+        ty = jnp.floor((tile + 0.5) * (1.0 / grid_x))
+        tx = tile - ty * grid_x
+        mx = attrs[ATTR_MX:ATTR_MX + 1]
+        my = attrs[ATTR_MY:ATTR_MY + 1]
+        ca = attrs[ATTR_CA:ATTR_CA + 1]
+        cb = attrs[ATTR_CB:ATTR_CB + 1]
+        cc = attrs[ATTR_CC:ATTR_CC + 1]
+        op = attrs[ATTR_OP:ATTR_OP + 1]
+        dxl = tx * TILE - mx
+        dxh = dxl + (TILE - 1)
+        dyl = ty * TILE - my
+        dyh = dyl + (TILE - 1)
+        inside = (dxl <= 0.0) & (dxh >= 0.0) & (dyl <= 0.0) & (dyh >= 0.0)
+
+        def q_at(dx, dy):
+            return ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
+
+        ica = 1.0 / jnp.maximum(ca, 1e-12)
+        icc = 1.0 / jnp.maximum(cc, 1e-12)
+        qx0 = q_at(dxl, jnp.clip(-cb * dxl * icc, dyl, dyh))
+        qx1 = q_at(dxh, jnp.clip(-cb * dxh * icc, dyl, dyh))
+        qy0 = q_at(jnp.clip(-cb * dyl * ica, dxl, dxh), dyl)
+        qy1 = q_at(jnp.clip(-cb * dyh * ica, dxl, dxh), dyh)
+        qmin = jnp.where(inside, 0.0,
+                         jnp.minimum(jnp.minimum(qx0, qx1),
+                                     jnp.minimum(qy0, qy1)))
+        tau = 2.0 * jnp.log(jnp.maximum(op, 1e-12) * (1.0 / _ALPHA_MIN))
+        hit = qmin <= tau + 1e-3    # small slack: never cull a kept pair
+
+        valid = (pos < tot_ref[0]) & hit
+        tile_i = jnp.where(valid, tile.astype(jnp.int32), num_tiles)
+        # Every per-pair field goes out as its own (K/128, 128)-shaped
+        # buffer — the TPU layout of a 1-D array — so the subsequent
+        # lax.sort consumes them with NO relayout (extracting 1-D rows
+        # from a packed 2-D output costs ~2 ms/row at P=3M in XLA).
+        kb = EXP_K // 128
+        tile_ref[...] = tile_i.reshape(kb, 128)
+        gid_ref[...] = gid_sel.astype(jnp.int32).reshape(kb, 128)
+        for i in range(ATTR_ROWS):
+            attr_refs[i][...] = attrs[i:i + 1].reshape(kb, 128)
+
+        tile_f = tile_i.astype(jnp.float32)
+        tyi = jnp.floor((tile_f + 0.5) * (1.0 / grid_x)).astype(jnp.int32)
+        txi = tile_i - tyi * grid_x
+        ity = jax.lax.broadcasted_iota(jnp.int32, (gyp, EXP_K), 0)
+        itx = jax.lax.broadcasted_iota(jnp.int32, (gxp, EXP_K), 0)
+        oty = (ity == tyi).astype(jnp.float32)
+        otx = (itx == txi).astype(jnp.float32)
+
+        @pl.when(c == 0)
+        def _():
+            hist_ref[...] = jnp.zeros((gyp, gxp), jnp.float32)
+        hist_ref[...] += jax.lax.dot_general(
+            oty, otx, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    return kernel
+
+
+def _rect_geometry(proj: ProjectedGaussians, width: int, height: int,
+                   tight: bool):
+    grid_x, _ = grid_shape(width, height)
+    if tight:
+        xmin, ymin, xmax, ymax = tile_rect_tight(proj, width, height)
+    else:
+        xmin, ymin, xmax, ymax = tile_rect(proj.mean2d, proj.radius,
+                                           width, height)
+    nx = (xmax - xmin).astype(jnp.int32)
+    counts = nx * (ymax - ymin).astype(jnp.int32)
+    pack = ((ymin * grid_x + xmin) * RECT_PACK
+            + jnp.minimum(nx, RECT_PACK - 1))
+    return pack, counts
+
+
+def _bin_sorted_core(spec, attrs10, depth_eff, pack_u, counts_u):
+    """Index plumbing + attribute routing: original-order per-Gaussian
+    attrs -> tile-sorted per-pair attrs. See module comment above."""
+    width, height, p, v_cap, interpret = spec
+    n = depth_eff.shape[0]
+    assert p % EXP_K == 0, "pair_capacity must be a multiple of EXP_K"
+    assert v_cap <= p
+    grid_x, grid_y = grid_shape(width, height)
+    num_tiles = grid_x * grid_y
+    assert n < _F32_INT_MAX, "one-hot gid recovery needs N < 2^23"
+    assert num_tiles * RECT_PACK + RECT_PACK < _F32_INT_MAX, \
+        "rect packing needs num_tiles*256 < 2^23 (image <= ~3.4 Mpix)"
+
+    # ONE stable N-sort by depth (empty-rect Gaussians sink to the tail so
+    # the live prefix has strictly ascending offsets — no compaction sort),
+    # carrying pack/counts/id and the 10 attribute rows as payloads.
+    srt = jax.lax.sort(
+        (depth_eff, pack_u, counts_u,
+         jnp.arange(n, dtype=jnp.int32))
+        + tuple(attrs10[i] for i in range(ATTR_ROWS)),
+        dimension=0, is_stable=True, num_keys=1)
+    pack, counts, gid = srt[1], srt[2], srt[3]
+    attrs_d = srt[4:]
+
+    offsets, total = _exclusive_cumsum_i32(counts)
+    n_pad = -(-(n + EXP_W) // _PACK_L) * _PACK_L
+    off_pad = jnp.pad(offsets, (0, n_pad - n),
+                      constant_values=_OFF_SENTINEL)
+    compi = pack_lanes([off_pad], 8, n_pad, interpret)
+    compf = pack_lanes(
+        [(offsets % _LO_MOD).astype(jnp.float32),
+         pack.astype(jnp.float32),
+         gid.astype(jnp.float32)] + list(attrs_d),
+        _CF_ROWS, n_pad, interpret)
+
+    nb = p // EXP_K
+    cpos = jnp.arange(nb, dtype=jnp.int32) * EXP_K
+    c_tab = jnp.searchsorted(off_pad, cpos, side="left").astype(jnp.int32)
+    s0 = (jnp.clip(c_tab - 1, 0, jnp.maximum(n - 1, 0)) // 128) * 128
+    tot = jnp.minimum(total, p).astype(jnp.int32)[None]
+
+    gyp = -(-grid_y // 8) * 8
+    gxp = -(-grid_x // 128) * 128
+    kb = EXP_K // 128
+    pb = p // 128
+    field = lambda dt: jax.ShapeDtypeStruct((pb, 128), dt)  # noqa: E731
+    fspec = pl.BlockSpec((kb, 128), lambda c, *_: (c, 0),
+                         memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _expand_attrs_kernel_factory(grid_x, grid_y, gyp, gxp),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nb,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                      pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+            out_specs=[fspec, fspec,
+                       pl.BlockSpec((gyp, gxp), lambda c, *_: (0, 0),
+                                    memory_space=pltpu.VMEM)]
+            + [fspec] * ATTR_ROWS,
+            scratch_shapes=[
+                pltpu.VMEM((2, 8, EXP_W), jnp.int32),
+                pltpu.VMEM((2, _CF_ROWS, EXP_W), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=[field(jnp.int32), field(jnp.int32),
+                   jax.ShapeDtypeStruct((gyp, gxp), jnp.float32)]
+        + [field(jnp.float32)] * ATTR_ROWS,
+        interpret=interpret,
+    )(s0, tot, compi, compf)
+    # (p/128, 128) shares the TPU tiled layout of a flat (p,) array, so
+    # these reshapes are free and lax.sort sees native 1-D operands.
+    tile_ids = outs[0].reshape(-1)
+    gidp = outs[1].reshape(-1)
+    hist = outs[2]
+    pattr_rows = [o.reshape(-1) for o in outs[3:]]
+
+    counts_t = hist[:grid_y, :grid_x].reshape(num_tiles).astype(jnp.int32)
+    ends = jnp.cumsum(counts_t).astype(jnp.int32)
+    num_valid = ends[-1]
+    tile_start = jnp.minimum(ends - counts_t, v_cap)
+    tile_end = jnp.minimum(ends, v_cap)
+
+    # ONE stable tile-key sort carrying gid + the attribute rows; culled
+    # and padding pairs (tile == num_tiles) sink past every real pair.
+    srt2 = jax.lax.sort(
+        (tile_ids, gidp) + tuple(pattr_rows),
+        dimension=0, is_stable=True, num_keys=1)
+    gid_sorted = jax.lax.slice_in_dim(srt2[1], 0, v_cap)
+    v_pad = v_cap + _COMPOSITE_PAD
+    attrs16 = pack_lanes(list(srt2[2:2 + ATTR_ROWS]), _CF_ROWS, v_pad,
+                         interpret)
+
+    aux = dict(
+        tile_start=tile_start,
+        tile_end=tile_end,
+        gid_sorted=gid_sorted,
+        num_valid=num_valid,
+        num_rect=total,
+        overflow_rect=jnp.maximum(total - p, 0),
+        overflow_valid=jnp.maximum(num_valid - v_cap, 0),
+    )
+    return attrs16, aux
+
+
+# Lane padding appended past v_cap so the compositor's floored chunk DMAs
+# stay in bounds; >= rasterize_pallas.CHUNK, and a multiple of the packing
+# kernel's 1024-lane granularity so v_cap ladders stay packable.
+_COMPOSITE_PAD = 1024
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _bin_sorted_pairs_vjp(spec, attrs10, depth_eff, pack_u, counts_u):
+    return _bin_sorted_core(spec, attrs10, depth_eff, pack_u, counts_u)
+
+
+def _bin_sorted_fwd(spec, attrs10, depth_eff, pack_u, counts_u):
+    out = _bin_sorted_core(spec, attrs10, depth_eff, pack_u, counts_u)
+    _, aux = out
+    res = (attrs10.shape[0], attrs10.shape[1], depth_eff.shape,
+           pack_u.shape, counts_u.shape,
+           aux["gid_sorted"], aux["num_valid"])
+    return out, res
+
+
+def _bin_sorted_bwd(spec, res, cts):
+    import numpy as np
+    rows, n, d_shape, p_shape, c_shape, gid_sorted, num_valid = res
+    interpret = spec[4]
+    d16 = cts[0]                        # (16, v_pad) tile-sorted pair grads
+    v_pad = d16.shape[1]
+    # Row extraction / restacking of P-sized 2-D tables costs ~2 ms/row in
+    # XLA (sublane relayouts); route through the Pallas un/packing kernels.
+    d_rows = unpack_lanes(d16, ATTR_ROWS, interpret)
+    gid_pad = jnp.pad(gid_sorted, (0, v_pad - gid_sorted.shape[0]),
+                      constant_values=n)
+    pair_pos = jnp.arange(v_pad, dtype=jnp.int32)
+    key = jnp.where(pair_pos < num_valid, gid_pad, n)
+    sorted_back = jax.lax.sort(
+        (key,) + tuple(d_rows),
+        dimension=0, is_stable=False, num_keys=1)
+    d_pairs = pack_lanes(list(sorted_back[1:]), 16, v_pad, interpret)
+    d_attrs = segment_reduce(d_pairs, sorted_back[0], num_valid, n,
+                             interpret=interpret)[:rows]
+    f0 = jax.dtypes.float0
+    return (d_attrs, jnp.zeros(d_shape, jnp.float32),
+            np.zeros(p_shape, f0), np.zeros(c_shape, f0))
+
+
+_bin_sorted_pairs_vjp.defvjp(_bin_sorted_fwd, _bin_sorted_bwd)
+
+
+def bin_sorted_pairs(proj: ProjectedGaussians, width: int, height: int,
+                     pair_capacity: int, valid_capacity: int | None = None,
+                     interpret: bool | None = None, tight: bool = True):
+    """Bin + depth/tile sort + per-pair attribute routing in one pass.
+
+    Returns (attrs16, aux): attrs16 is the (16, valid_capacity + 256)
+    tile-sorted packed pair-attribute array the Pallas compositor consumes
+    directly; aux holds tile ranges (clamped to valid_capacity), the
+    tile-sorted gaussian ids, and pair accounting (num_valid/num_rect and
+    the two overflow counters). Differentiable w.r.t. the Gaussian
+    attributes; the VJP is the sort-back + segment reduction."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if valid_capacity is None:
+        valid_capacity = pair_capacity
+    pack_u, counts_u = _rect_geometry(proj, width, height, tight)
+    depth_eff = jnp.where(counts_u > 0, proj.depth, jnp.inf)
+    attrs10 = pack_attributes(proj)
+    spec = (width, height, int(pair_capacity), int(valid_capacity),
+            bool(interpret))
+    return _bin_sorted_pairs_vjp(spec, attrs10, depth_eff, pack_u, counts_u)
+
+
+# --- 1-D rows -> sublane-packed 2-D table (Pallas) -------------------------
+#
+# XLA materializes `stack([r0, r1, ...])` / `concatenate([r[None] ...])` of
+# 1-D TPU arrays as one sublane relayout per row (~3 ms/row at P=3M — the
+# dominant cost of the fused binning path when done in XLA). A (k,) array
+# and its (k/128, 128) reshape share the TPU tiled layout (free bitcast),
+# so this kernel instead streams each row's (8, 128) blocks and writes them
+# into the packed (rows, k) table with static sublane moves — pure
+# bandwidth.
+
+_PACK_L = 1024  # lanes per grid step (one (8, 128) block per input row)
+
+
+def _pack_rows_kernel_factory(n_in: int, out_rows: int):
+    def kernel(*refs):
+        ins = refs[:n_in]
+        out = refs[n_in]
+
+        for r in range(n_in):
+            blk = ins[r][...]                      # (8, 128)
+            for j in range(8):
+                out[r:r + 1, j * 128:(j + 1) * 128] = blk[j:j + 1, :]
+        if n_in < out_rows:
+            out[n_in:out_rows, :] = jnp.zeros(
+                (out_rows - n_in, _PACK_L), out.dtype)
+
+    return kernel
+
+
+def pack_lanes(rows, out_rows: int, out_len: int,
+               interpret: bool | None = None) -> jnp.ndarray:
+    """Pack 1-D arrays into a zero-padded (out_rows, out_len) table.
+
+    Rows shorter than out_len are zero-extended; longer ones truncated.
+    out_len must be a multiple of 1024."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert out_len % _PACK_L == 0
+    assert len(rows) <= out_rows
+    dtype = rows[0].dtype
+    padded = []
+    for r in rows:
+        k = r.shape[0]
+        if k < out_len:
+            r = jnp.pad(r, (0, out_len - k))
+        elif k > out_len:
+            r = jax.lax.slice_in_dim(r, 0, out_len)
+        padded.append(r.reshape(out_len // 128, 128))
+    nb = out_len // _PACK_L
+    out = pl.pallas_call(
+        _pack_rows_kernel_factory(len(rows), out_rows),
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((8, 128), lambda c: (c, 0))
+                  for _ in rows],
+        out_specs=pl.BlockSpec((out_rows, _PACK_L), lambda c: (0, c)),
+        out_shape=jax.ShapeDtypeStruct((out_rows, out_len), dtype),
+        interpret=interpret,
+    )(*padded)
+    return out
+
+
+def _unpack_rows_kernel_factory(n_out: int):
+    def kernel(*refs):
+        inp = refs[0]
+        outs = refs[1:]
+        for r in range(n_out):
+            for j in range(8):
+                outs[r][j:j + 1, :] = inp[r:r + 1, j * 128:(j + 1) * 128]
+
+    return kernel
+
+
+def unpack_lanes(table: jnp.ndarray, n_out: int,
+                 interpret: bool | None = None) -> list[jnp.ndarray]:
+    """Inverse of :func:`pack_lanes`: rows of a packed (rows, L) table as
+    1-D arrays (returned in the TPU-native (L/128, 128) layout, reshaped
+    flat for free)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    rows, length = table.shape
+    assert length % _PACK_L == 0 and n_out <= rows
+    nb = length // _PACK_L
+    outs = pl.pallas_call(
+        _unpack_rows_kernel_factory(n_out),
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((rows, _PACK_L), lambda c: (0, c))],
+        out_specs=[pl.BlockSpec((8, 128), lambda c: (c, 0))
+                   for _ in range(n_out)],
+        out_shape=[jax.ShapeDtypeStruct((length // 128, 128), table.dtype)
+                   for _ in range(n_out)],
+        interpret=interpret,
+    )(table)
+    return [o.reshape(-1) for o in outs]

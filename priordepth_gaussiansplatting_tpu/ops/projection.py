@@ -182,6 +182,52 @@ def project_gaussians(
     )
 
 
+def tile_rect_tight(proj: "ProjectedGaussians", width: int, height: int):
+    """Exact axis-aligned tile rect of the alpha >= 1/255 level set.
+
+    The compositor (Pallas kernel and jnp oracle alike) skips every
+    (pixel, Gaussian) pair with alpha = op*exp(power) < 1/255, so tiles
+    that cannot reach that threshold anywhere contribute exactly nothing —
+    shrinking the rect from the CUDA 3-sigma bounding square
+    (`getRect`, SURVEY.md §2.9.1) to the level-set ellipse's AABB preserves
+    the rendered output bit-for-bit while cutting the (Gaussian, tile) pair
+    count, which every downstream P-sized stage scales with.
+
+    The AABB half-extents are sqrt(tau * Sigma_aa) with
+    tau = 2*ln(op/alpha_min), clipped against the 3-sigma square (the outer
+    bound for CUDA parity: the reference never composites beyond the square
+    even where alpha >= 1/255, and high-opacity splats reach threshold past
+    3 sigma, so tau itself must NOT be capped at 9). One pixel of safety
+    absorbs f32 rounding. Gaussians with op < 1/255 are everywhere below
+    threshold and get an empty rect.
+    """
+    grid_x = (width + TILE - 1) // TILE
+    grid_y = (height + TILE - 1) // TILE
+    a = proj.conic[:, 0]
+    b = proj.conic[:, 1]
+    c = proj.conic[:, 2]
+    detc = a * c - b * b                      # = 1/det(cov2d) for live rows
+    inv = 1.0 / jnp.maximum(detc, 1e-30)
+    sxx = c * inv                             # Sigma_xx (dilated)
+    syy = a * inv
+    alpha_min = 1.0 / 255.0
+    tau = jnp.maximum(
+        2.0 * jnp.log(jnp.maximum(proj.opacity, 1e-12) / alpha_min), 0.0)
+    r3 = proj.radius.astype(jnp.float32)
+    rx = jnp.minimum(jnp.sqrt(jnp.maximum(tau * sxx, 0.0)) + 1.0, r3)
+    ry = jnp.minimum(jnp.sqrt(jnp.maximum(tau * syy, 0.0)) + 1.0, r3)
+    empty = (proj.radius <= 0) | (proj.opacity < alpha_min)
+    mx = proj.mean2d[:, 0]
+    my = proj.mean2d[:, 1]
+    xmin = jnp.clip(((mx - rx) / TILE).astype(jnp.int32), 0, grid_x)
+    ymin = jnp.clip(((my - ry) / TILE).astype(jnp.int32), 0, grid_y)
+    xmax = jnp.clip(((mx + rx + TILE - 1) / TILE).astype(jnp.int32), 0, grid_x)
+    ymax = jnp.clip(((my + ry + TILE - 1) / TILE).astype(jnp.int32), 0, grid_y)
+    xmax = jnp.where(empty, xmin, jnp.maximum(xmax, xmin))
+    ymax = jnp.where(empty, ymin, jnp.maximum(ymax, ymin))
+    return xmin, ymin, xmax, ymax
+
+
 def tile_rect(mean2d: jnp.ndarray, radius: jnp.ndarray, width: int, height: int):
     """Tile-grid bounding rect of each Gaussian, CUDA `getRect` semantics.
 

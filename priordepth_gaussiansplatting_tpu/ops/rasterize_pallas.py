@@ -59,8 +59,9 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _tri(k: int) -> jnp.ndarray:
-    """Upper-triangular ones (k, k): x @ _tri = inclusive cumsum along lanes.
+def _tri(k: int, strict: bool = False) -> jnp.ndarray:
+    """Upper-triangular ones (k, k): x @ _tri = inclusive cumsum along lanes
+    (strict=True drops the diagonal -> exclusive cumsum).
 
     Scans along the pair axis are expressed as one (PIX, K) x (K, K) MXU
     matmul instead of a log-step VPU shuffle chain — the scan is the
@@ -68,13 +69,20 @@ def _tri(k: int) -> jnp.ndarray:
     """
     r = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
-    return (r <= c).astype(jnp.float32)
+    return ((r < c) if strict else (r <= c)).astype(jnp.float32)
 
 
 def _cumsum1(x):
     """Inclusive cumsum along axis 1 via triangular MXU matmul."""
     return jax.lax.dot_general(
         x, _tri(x.shape[1]), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _cumsum0(x):
+    """Exclusive cumsum along axis 1 via strict-triangular MXU matmul."""
+    return jax.lax.dot_general(
+        x, _tri(x.shape[1], strict=True), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
 
@@ -165,13 +173,15 @@ def _fwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, color_ref, invd_ref,
                                                start, end, i)
         one_m = 1.0 - a_eff
         # cumprod(one_m) = exp(cumsum(log one_m)); one_m >= 0.01 so the
-        # log is well-conditioned and the cumsum runs on the MXU.
+        # log is well-conditioned and the cumsum runs on the MXU. The scan
+        # is EXCLUSIVE: t_ex is the transmittance BEFORE pair k (== the old
+        # incl/one_m without the divide), and the chunk-final carry falls
+        # out of incl's last column for free.
         log_om = jnp.log(one_m)
-        cls = _cumsum1(log_om)               # inclusive (PIX, K)
-        incl = R * jnp.exp(cls)
+        t_ex = R * jnp.exp(_cumsum0(log_om))  # (PIX, K) before-pair T
+        incl = t_ex * one_m                   # after-pair T
         live = incl >= T_EPS
-        excl = incl / one_m
-        w = jnp.where(live, a_eff * excl, 0.0)
+        w = jnp.where(live, a_eff * t_ex, 0.0)
         contract = (((1,), (1,)), ((), ()))
         C = C + jax.lax.dot_general(
             w, chunk[binning.ATTR_R:binning.ATTR_B + 1, :], contract,
@@ -179,7 +189,7 @@ def _fwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, color_ref, invd_ref,
         D = D + jax.lax.dot_general(
             w, chunk[binning.ATTR_ID:binning.ATTR_ID + 1, :], contract,
             preferred_element_type=jnp.float32)   # (PIX, 1)
-        R = R * jnp.exp(cls[:, -1:])
+        R = incl[:, -1:]
         # masked final transmittance: plain masked-log reduction.
         Tm = Tm * jnp.exp(jnp.sum(jnp.where(live, log_om, 0.0),
                                   axis=1, keepdims=True))
@@ -281,11 +291,10 @@ def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
                                                        start, end, i)
             one_m = 1.0 - a_eff
             log_om = jnp.log(one_m)
-            cls = _cumsum1(log_om)
-            incl = R * jnp.exp(cls)
+            t_ex = R * jnp.exp(_cumsum0(log_om))  # before-pair T
+            incl = t_ex * one_m                   # after-pair T
             live = incl >= T_EPS
-            excl = incl / one_m
-            w = jnp.where(live, a_eff * excl, 0.0)  # (PIX, K)
+            w = jnp.where(live, a_eff * t_ex, 0.0)  # (PIX, K)
 
             # ρ(pix, k) = Σ_c dC_c·c_k_c + dD·d_k — folds all cotangents.
             rho = jax.lax.dot_general(
@@ -298,7 +307,7 @@ def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
             suffix = r_total - r_pref - cum_wrho            # Σ_{j>k} w_j ρ_j
             g_alpha = jnp.where(
                 live & keep,
-                excl * rho - (suffix + dt_tfin) / one_m,
+                t_ex * rho - (suffix + dt_tfin) / one_m,
                 0.0)                                        # (PIX, K)
             # Through alpha = min(0.99, op·G): the clamp kills the gradient.
             g_alpha = jnp.where(raw < ALPHA_MAX, g_alpha, 0.0)
@@ -324,7 +333,7 @@ def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
             new_g = jnp.concatenate(
                 [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_rgb, d_id,
                  jnp.zeros((ROWS - NROW, CHUNK), jnp.float32)], axis=0)
-            R = R * jnp.exp(cls[:, -1:])
+            R = incl[:, -1:]
             r_pref = r_pref + cum_wrho[:, -1:]
             return new_g, R, r_pref
 
@@ -511,40 +520,41 @@ def _make_composite(width: int, height: int, p_pad: int, interpret: bool,
 def rasterize(proj: ProjectedGaussians, bg: jnp.ndarray,
               width: int, height: int,
               pair_capacity: int | None = None,
+              valid_capacity: int | None = None,
               interpret: bool | None = None):
-    """Full Pallas path: bin → sort → gather → composite. Same contract as
-    ops/reference.rasterize_reference (render includes the background)."""
+    """Full Pallas path: fused bin/sort/attribute-routing → composite. Same
+    contract as ops/reference.rasterize_reference (render includes the
+    background).
+
+    `pair_capacity` bounds the rect-based pair expansion; `valid_capacity`
+    (default: same) bounds the pairs that survive the exact ellipse-tile
+    cull and is what every composite-side P-sized op scales with — adaptive
+    callers set it from the observed `num_pairs`."""
     n = proj.mean2d.shape[0]
     if pair_capacity is None:
         pair_capacity = default_pair_capacity(n)
+    if valid_capacity is None:
+        valid_capacity = pair_capacity
     if interpret is None:
         interpret = _interpret_default()
-    binned = binning.bin_gaussians(proj, width, height, pair_capacity)
-    # Pack attribute rows, then ONE lane-axis gather straight from original
-    # order to tile-sorted pair order (pair ids are original ids; no
-    # intermediate depth permutation). The gather's VJP is the sort-back
-    # segment reduction, which also lands directly in original order.
-    attrs = binning.pack_attributes(proj)               # (NROW, N) original
-    sorted_attrs = binning.gather_pairs(attrs, binned)  # (NROW, P)
-    # Mask padding pairs so junk never reaches the kernel or the VJP.
-    pair_valid = (jnp.arange(pair_capacity) < binned.num_pairs)[None, :]
-    sorted_attrs = jnp.where(pair_valid, sorted_attrs, 0.0)
-    p_pad = pair_capacity + CHUNK
-    sorted_attrs = jnp.pad(sorted_attrs,
-                           ((0, ROWS - NROW), (0, CHUNK)))
+    assert binning._COMPOSITE_PAD >= CHUNK
+    sorted_attrs, aux = binning.bin_sorted_pairs(
+        proj, width, height, pair_capacity, valid_capacity, interpret)
 
-    composite = _make_composite(width, height, p_pad, interpret)
+    composite = _make_composite(width, height, sorted_attrs.shape[1],
+                                interpret)
     grid_x, grid_y = binning.grid_shape(width, height)
     tile_ids = jnp.arange(grid_x * grid_y, dtype=jnp.int32)
     color, invd, t_fin = composite(sorted_attrs, tile_ids,
-                                   binned.tile_start, binned.tile_end)
+                                   aux["tile_start"], aux["tile_end"])
     image = color + t_fin * bg[:, None, None]
     return {
         "render": image,
         "invdepth": invd,
         "final_T": t_fin[0],
-        "overflow": binned.overflow,
-        "num_pairs": binned.num_pairs,
+        "overflow": aux["overflow_rect"] + aux["overflow_valid"],
+        "num_pairs": aux["num_valid"],
+        "num_rect_pairs": aux["num_rect"],
     }
 
 
@@ -562,18 +572,17 @@ def default_pair_capacity(n: int) -> int:
 
 
 def round_capacity(pairs: int) -> int:
-    """Smallest ladder capacity >= pairs, ladder = {2^k, 3·2^(k-1)}.
+    """Smallest ladder capacity >= pairs, ladder = {4,5,6,7}·2^(k-2).
 
-    The 1.5×-stepped ladder halves the worst-case padding waste of a pure
-    power-of-two ladder while keeping the number of distinct compiled
-    programs per scene scale bounded (≤2 per octave)."""
+    Quarter-octave steps cap the padding waste at 25% (every pair-sized
+    sort/kernel sweep scales with the capacity) while keeping the number of
+    distinct compiled programs per scene scale bounded (≤4 per octave).
+    Values stay multiples of 4096 (EXP_K and the lane-packing granularity)."""
     pairs = max(int(pairs), 4096)
-    k = int(np.ceil(np.log2(pairs)))
-    p2 = 2 ** k
-    p15 = 3 * 2 ** (k - 1)  # 1.5 * 2^k... between 2^k and 2^(k+1)
-    candidates = [c for c in (2 ** (k - 1), 3 * 2 ** (k - 2), p2, p15)
-                  if c >= pairs]
-    return int(min(candidates))
+    k = max(int(np.ceil(np.log2(pairs))), 12)
+    cands = [m * 2 ** (k - 2) for m in (4, 5, 6, 7)] + [2 ** (k + 1)]
+    cands += [m * 2 ** (k - 3) for m in (5, 6, 7) if m * 2 ** (k - 3) >= 4096]
+    return int(min(c for c in cands if c >= pairs))
 
 
 def composite_bands(sorted_attrs_padded: jnp.ndarray, tile_ids: jnp.ndarray,

@@ -166,3 +166,13 @@ def test_depth_data_pipeline(tmp_path):
     mixed = ddata.MixedDataset([ds, ds])
     sample, dom = mixed.sample(pyrandom.Random(0))
     assert dom in (0, 1)
+
+
+def test_silog_no_nan_for_near_constant_errors():
+    """Regression: E[e^2]-E[e]^2 can go fractionally negative in float for
+    near-constant predictions; silog must clamp, not NaN."""
+    rng = np.random.default_rng(0)
+    gt = np.full(4096, 3.0) * (1 + 1e-7 * rng.standard_normal(4096))
+    pred = gt * 1.37  # near-constant log error
+    m = dm.compute_errors(gt, pred)
+    assert np.isfinite(m["silog"]) and m["silog"] >= 0.0

@@ -20,15 +20,15 @@ except Exception:
     pass
 
 
-def bench(name, fn, *args, iters=20):
-    f = jax.jit(fn)
-    r = jax.block_until_ready(f(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = f(*args)
-    jax.block_until_ready(r)
-    dt = (time.perf_counter() - t0) / iters
-    print(f"{name:<38} {dt * 1000:8.2f} ms", flush=True)
+def bench(name, fn, *args, iters=10):
+    """Chained-forced timing (see tools/chainbench.py: the axon runtime is
+    lazy — unconsumed results are elided, so naive loops measure dispatch)."""
+    import os
+    import sys as _sys
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from chainbench import chain_bench
+    dt = chain_bench(f"{name:<38}", fn, *args, iters=iters)
+    r = jax.jit(fn)(*args)
     return r, dt
 
 
