@@ -48,25 +48,37 @@ def evaluate(model_paths):
             mdir = os.path.join(test_dir, method)
             renders, gts, names = read_images(
                 os.path.join(mdir, "renders"), os.path.join(mdir, "gt"))
+            use_lpips = have_lpips()
             ssims, psnrs, lpipss = [], [], []
             for r, g in zip(renders, gts):
                 rj, gj = jnp.asarray(r), jnp.asarray(g)
                 ssims.append(float(ssim(rj, gj)))
                 psnrs.append(float(psnr(rj, gj)))
-                lpipss.append(compute_lpips(rj, gj) if have_lpips() else -1.0)
+                if use_lpips:
+                    lpipss.append(compute_lpips(rj, gj))
             full_dict[scene_dir][method] = {
                 "SSIM": float(np.mean(ssims)),
                 "PSNR": float(np.mean(psnrs)),
-                "LPIPS": float(np.mean(lpipss)),
             }
             per_view_dict[scene_dir][method] = {
                 "SSIM": dict(zip(names, ssims)),
                 "PSNR": dict(zip(names, psnrs)),
-                "LPIPS": dict(zip(names, lpipss)),
             }
+            # LPIPS is OMITTED (not -1) when weights are unavailable: a -1
+            # averaged into a results table reads as data (the reference
+            # fails loudly instead; see PDGS_LPIPS_WEIGHTS in eval/metrics).
+            if use_lpips:
+                full_dict[scene_dir][method]["LPIPS"] = float(
+                    np.mean(lpipss))
+                per_view_dict[scene_dir][method]["LPIPS"] = dict(
+                    zip(names, lpipss))
             print(f"  SSIM : {np.mean(ssims):.7f}")
             print(f"  PSNR : {np.mean(psnrs):.7f}")
-            print(f"  LPIPS: {np.mean(lpipss):.7f}")
+            if use_lpips:
+                print(f"  LPIPS: {np.mean(lpipss):.7f}")
+            else:
+                print("  LPIPS: (skipped — no weights; set "
+                      "PDGS_LPIPS_WEIGHTS)")
         with open(os.path.join(scene_dir, "results.json"), "w") as f:
             json.dump(full_dict[scene_dir], f, indent=True)
         with open(os.path.join(scene_dir, "per_view.json"), "w") as f:

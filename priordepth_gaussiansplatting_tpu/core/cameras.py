@@ -98,6 +98,13 @@ class Camera:
     invdepth: Optional[jnp.ndarray] = None
     depth_mask: Optional[jnp.ndarray] = None
     alpha_mask: Optional[jnp.ndarray] = None
+    # Mixed-resolution DP batching (parallel/step.pad_camera_batch): when a
+    # camera is zero-padded onto a common canvas, these TRACED leaves carry
+    # the camera's true pixel dims [w, h] and [tan_fovx, tan_fovy] so one
+    # compiled program serves heterogeneous intrinsics; the static
+    # width/height then describe the canvas and fovx/fovy are zeroed.
+    pix_wh: Optional[jnp.ndarray] = None
+    tan_wh: Optional[jnp.ndarray] = None
     height: int = dataclasses.field(metadata=dict(static=True), default=0)
     width: int = dataclasses.field(metadata=dict(static=True), default=0)
     fovx: float = dataclasses.field(metadata=dict(static=True), default=0.0)

@@ -196,3 +196,149 @@ def make_dataset(root: str, preset: str = "nyu", **overrides):
     return FolderDepthDataset(
         root, depth_scale=cfg["depth_scale"],
         min_depth=cfg["min_depth"], max_depth=cfg["max_depth"])
+
+
+# --- Concrete dataset layouts (reference zoedepth/data/data_mono.py) -------
+#
+# The reference trains/evals from "filenames files" — text files whose lines
+# are `rgb_rel_path depth_rel_path focal` — resolved against data_path /
+# gt_path, with KITTI's kb_crop applied at load (`data_mono.py:270-509`).
+# The walkers below additionally discover the standard on-disk layouts
+# directly (KITTI raw + depth-annotated, NYUv2 scene folders) so the loaders
+# work without the txt indices.
+
+
+def kb_crop(arr: np.ndarray) -> np.ndarray:
+    """KITTI benchmark crop: bottom-centre 352x1216 window
+    (`data_mono.py`: top_margin = h-352, left_margin = (w-1216)/2)."""
+    h, w = arr.shape[:2]
+    top = max(h - 352, 0)
+    left = max((w - 1216) // 2, 0)
+    return arr[top:top + 352, left:left + 1216]
+
+
+class TxtSplitDepthDataset:
+    """Reference filenames-file dataset: lines `rgb_rel depth_rel [focal]`.
+
+    `data_path`/`gt_path` mirror the reference config fields; `None` depth
+    paths (the literal string "None" in eval splits with missing gt) yield
+    all-false masks. Set `do_kb_crop` for KITTI conventions."""
+
+    def __init__(self, data_path: str, gt_path: str, filenames_file: str,
+                 depth_scale: float = 256.0, min_depth: float = 1e-3,
+                 max_depth: float = 80.0, do_kb_crop: bool = False):
+        self.data_path = data_path
+        self.gt_path = gt_path
+        self.depth_scale = depth_scale
+        self.min_depth = min_depth
+        self.max_depth = max_depth
+        self.do_kb_crop = do_kb_crop
+        self.entries = []
+        with open(filenames_file) as f:
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                rgb = parts[0]
+                depth = parts[1] if len(parts) > 1 else "None"
+                focal = float(parts[2]) if len(parts) > 2 else 0.0
+                self.entries.append((rgb, depth, focal))
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def __getitem__(self, idx: int) -> DepthSample:
+        rgb_rel, depth_rel, _ = self.entries[idx]
+        with Image.open(os.path.join(self.data_path,
+                                     rgb_rel.lstrip("/"))) as im:
+            img = np.asarray(im.convert("RGB"), np.float32) / 255.0
+        if depth_rel == "None":
+            depth = np.zeros(img.shape[:2], np.float32)
+        else:
+            with Image.open(os.path.join(self.gt_path,
+                                         depth_rel.lstrip("/"))) as dm:
+                depth = np.asarray(dm, np.float32) / self.depth_scale
+        if self.do_kb_crop:
+            img = kb_crop(img)
+            depth = kb_crop(depth)
+        mask = (depth > self.min_depth) & (depth < self.max_depth)
+        return DepthSample(img, depth, mask)
+
+
+class KittiDepthDataset:
+    """KITTI raw + depth-annotated on-disk layout walker.
+
+    rgb:   <root>/<date>/<drive>_sync/image_02/data/<frame>.png
+    depth: <gt_root>/<drive>_sync/proj_depth/groundtruth/image_02/<frame>.png
+    Depth PNGs are uint16 metres*256; frames without gt are skipped. kb_crop
+    applied (KITTI eval convention; garg crop happens at metric time)."""
+
+    def __init__(self, root: str, gt_root: str, min_depth: float = 1e-3,
+                 max_depth: float = 80.0, do_kb_crop: bool = True):
+        self.min_depth = min_depth
+        self.max_depth = max_depth
+        self.do_kb_crop = do_kb_crop
+        self.pairs = []
+        for date in sorted(os.listdir(root)):
+            dpath = os.path.join(root, date)
+            if not os.path.isdir(dpath):
+                continue
+            for drive in sorted(os.listdir(dpath)):
+                img_dir = os.path.join(dpath, drive, "image_02", "data")
+                gt_dir = os.path.join(gt_root, drive, "proj_depth",
+                                      "groundtruth", "image_02")
+                if not (os.path.isdir(img_dir) and os.path.isdir(gt_dir)):
+                    continue
+                for fn in sorted(os.listdir(img_dir)):
+                    gt = os.path.join(gt_dir, fn)
+                    if fn.endswith(".png") and os.path.exists(gt):
+                        self.pairs.append((os.path.join(img_dir, fn), gt))
+
+    def __len__(self) -> int:
+        return len(self.pairs)
+
+    def __getitem__(self, idx: int) -> DepthSample:
+        rgb_p, gt_p = self.pairs[idx]
+        with Image.open(rgb_p) as im:
+            img = np.asarray(im.convert("RGB"), np.float32) / 255.0
+        with Image.open(gt_p) as dm:
+            depth = np.asarray(dm, np.float32) / 256.0
+        if self.do_kb_crop:
+            img, depth = kb_crop(img), kb_crop(depth)
+        mask = (depth > self.min_depth) & (depth < self.max_depth)
+        return DepthSample(img, depth, mask)
+
+
+class NyuDepthDataset:
+    """NYUv2 scene-folder layout walker.
+
+    <root>/<scene>/rgb_<k>.jpg + <root>/<scene>/sync_depth_<k>.png, depth
+    uint16 metres*1000; the eigen crop happens at metric time."""
+
+    def __init__(self, root: str, min_depth: float = 1e-3,
+                 max_depth: float = 10.0):
+        self.min_depth = min_depth
+        self.max_depth = max_depth
+        self.pairs = []
+        for scene in sorted(os.listdir(root)):
+            spath = os.path.join(root, scene)
+            if not os.path.isdir(spath):
+                continue
+            for fn in sorted(os.listdir(spath)):
+                if fn.startswith("rgb_"):
+                    stem = os.path.splitext(fn[len("rgb_"):])[0]
+                    gt = os.path.join(spath, f"sync_depth_{stem}.png")
+                    if os.path.exists(gt):
+                        self.pairs.append((os.path.join(spath, fn), gt))
+
+    def __len__(self) -> int:
+        return len(self.pairs)
+
+    def __getitem__(self, idx: int) -> DepthSample:
+        rgb_p, gt_p = self.pairs[idx]
+        with Image.open(rgb_p) as im:
+            img = np.asarray(im.convert("RGB"), np.float32) / 255.0
+        with Image.open(gt_p) as dm:
+            depth = np.asarray(dm, np.float32) / 1000.0
+        mask = (depth > self.min_depth) & (depth < self.max_depth)
+        return DepthSample(img, depth, mask)

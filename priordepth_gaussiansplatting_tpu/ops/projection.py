@@ -117,15 +117,25 @@ def project_gaussians(
     antialiasing: bool = False,
     valid_mask: jnp.ndarray | None = None,
     colors_precomp: jnp.ndarray | None = None,
+    map_width=None,
+    map_height=None,
 ) -> ProjectedGaussians:
     """Full preprocess. Culled/padded Gaussians get radius 0 and opacity 0.
 
     `valid_mask` marks live rows of the fixed-capacity Gaussian store; padded
     rows are culled unconditionally.
+
+    `map_width`/`map_height` (optionally TRACED scalars) override the pixel
+    mapping and focal lengths when rendering a camera zero-padded onto a
+    larger static canvas (mixed-resolution DP): `width`/`height` stay the
+    static canvas dims used by the tile grid. `tan_fovx`/`tan_fovy` may also
+    be traced scalars.
     """
     n = means3d.shape[0]
-    focal_x = width / (2.0 * tan_fovx)
-    focal_y = height / (2.0 * tan_fovy)
+    mw = width if map_width is None else map_width
+    mh = height if map_height is None else map_height
+    focal_x = mw / (2.0 * tan_fovx)
+    focal_y = mh / (2.0 * tan_fovy)
 
     # Homogeneous projection -> NDC -> pixels.
     hom = means3d @ full_proj[:3, :3].T + full_proj[:3, 3]
@@ -133,8 +143,8 @@ def project_gaussians(
     inv_w = 1.0 / (w + 1e-7)
     ndc = hom * inv_w[:, None]
     mean2d = jnp.stack(
-        [((ndc[:, 0] + 1.0) * width - 1.0) * 0.5,
-         ((ndc[:, 1] + 1.0) * height - 1.0) * 0.5],
+        [((ndc[:, 0] + 1.0) * mw - 1.0) * 0.5,
+         ((ndc[:, 1] + 1.0) * mh - 1.0) * 0.5],
         axis=-1,
     )
 

@@ -45,10 +45,13 @@ def _blur(x: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     return x[0]
 
 
-@partial(jax.jit, static_argnames=("window_size",))
-def ssim(img1: jnp.ndarray, img2: jnp.ndarray,
-         window_size: int = 11) -> jnp.ndarray:
-    """Mean SSIM over a (C, H, W) image pair in [0, 1]."""
+def ssim_map(img1: jnp.ndarray, img2: jnp.ndarray,
+             window_size: int = 11) -> jnp.ndarray:
+    """Per-pixel SSIM map (C, H, W) with zero-padded same convolution.
+
+    Because the padding is zeros, computing the map on a zero-padded canvas
+    and masking to the true image region reproduces the native-resolution
+    result bit-for-bit — the basis of mixed-resolution DP batching."""
     window = jnp.asarray(gaussian_window(window_size))
     mu1 = _blur(img1, window)
     mu2 = _blur(img2, window)
@@ -56,6 +59,12 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray,
     sigma1_sq = _blur(img1 * img1, window) - mu1_sq
     sigma2_sq = _blur(img2 * img2, window) - mu2_sq
     sigma12 = _blur(img1 * img2, window) - mu1_mu2
-    ssim_map = ((2.0 * mu1_mu2 + C1) * (2.0 * sigma12 + C2)) / (
+    return ((2.0 * mu1_mu2 + C1) * (2.0 * sigma12 + C2)) / (
         (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2))
-    return jnp.mean(ssim_map)
+
+
+@partial(jax.jit, static_argnames=("window_size",))
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray,
+         window_size: int = 11) -> jnp.ndarray:
+    """Mean SSIM over a (C, H, W) image pair in [0, 1]."""
+    return jnp.mean(ssim_map(img1, img2, window_size))

@@ -91,11 +91,17 @@ def _render_gathered(camera: Camera, state: GaussianState, bg, screen_offset,
     With `tile_shard_n` > 0 the compositing work is ALSO sharded over the
     same axis (each rank renders a tile band)."""
     cov3d = state.get_covariance()
+    if camera.tan_wh is not None:
+        tanx, tany = camera.tan_wh[0], camera.tan_wh[1]
+        map_w, map_h = camera.pix_wh[0], camera.pix_wh[1]
+    else:
+        tanx, tany = camera.tan_fovx, camera.tan_fovy
+        map_w = map_h = None
     proj = proj_ops.project_gaussians(
         state.params.xyz, cov3d, state.get_opacity(), state.get_features(),
         state.max_sh_degree, camera.world_view, camera.full_proj,
         camera.cam_center, camera.width, camera.height,
-        camera.tan_fovx, camera.tan_fovy,
+        tanx, tany, map_width=map_w, map_height=map_h,
         antialiasing=pipe_cfg.antialiasing, valid_mask=state.active)
     local_radii = proj.radius
     proj = dataclasses.replace(proj, mean2d=proj.mean2d + screen_offset)
@@ -152,8 +158,19 @@ def make_sharded_train_step(opt_cfg: OptimizationConfig,
             gt = camera.image
             if camera.alpha_mask is not None:
                 image = image * camera.alpha_mask[None]
-            ll1 = losses.l1_loss(image, gt)
-            ssim_v = losses.ssim(image, gt)
+            if camera.pix_wh is not None:
+                # Zero-padded mixed-resolution camera: losses masked to the
+                # true image region and normalised by its pixel count — the
+                # SSIM convolution is zero-"same"-padded, so this reproduces
+                # the native-resolution loss exactly.
+                from ..ops.ssim import ssim_map  # noqa: PLC0415
+                mask = camera.alpha_mask[None]
+                nval = 3.0 * camera.pix_wh[0] * camera.pix_wh[1]
+                ll1 = jnp.sum(jnp.abs(image - gt) * mask) / nval
+                ssim_v = jnp.sum(ssim_map(image, gt) * mask) / nval
+            else:
+                ll1 = losses.l1_loss(image, gt)
+                ssim_v = losses.ssim(image, gt)
             loss = ((1.0 - opt_cfg.lambda_dssim) * ll1
                     + opt_cfg.lambda_dssim * (1.0 - ssim_v))
             if opt_cfg.depth_feedback and camera.invdepth is not None:
@@ -225,3 +242,50 @@ def make_sharded_train_step(opt_cfg: OptimizationConfig,
 def stack_cameras(cameras) -> Camera:
     """Stack a list of same-resolution Cameras into a leading batch axis."""
     return jax.tree.map(lambda *xs: jnp.stack(xs), *cameras)
+
+
+def pad_camera_batch(cameras) -> Camera:
+    """Stack cameras of HETEROGENEOUS resolutions/intrinsics for DP.
+
+    Real COLMAP scenes routinely mix per-camera dimensions (the reference
+    trains one camera at a time, `train.py:129-135`); DP needs one static
+    program. Each camera is zero-padded onto the max (H, W) canvas, its true
+    dims/intrinsics move into the TRACED `pix_wh`/`tan_wh` leaves (the
+    static fov fields are zeroed so the aux data matches across the batch),
+    and the valid region is folded into `alpha_mask`. The sharded step then
+    maps pixels with the traced intrinsics and masks the losses to the true
+    region — exactly reproducing each camera's native-resolution loss
+    (the SSIM convolution is zero-"same"-padded)."""
+    import numpy as np  # noqa: PLC0415
+
+    H = max(c.height for c in cameras)
+    W = max(c.width for c in cameras)
+    # Optional fields must agree structurally across the batch.
+    have_depth = all(c.invdepth is not None for c in cameras)
+    have_dmask = all(c.depth_mask is not None for c in cameras)
+
+    def pad2(x, h, w, fill=0.0):
+        if x is None:
+            return None
+        return jnp.pad(jnp.asarray(x), [(0, 0)] * (x.ndim - 2)
+                       + [(0, H - h), (0, W - w)], constant_values=fill)
+
+    out = []
+    for c in cameras:
+        mask = np.zeros((H, W), np.float32)
+        mask[:c.height, :c.width] = 1.0
+        mask = jnp.asarray(mask)
+        if c.alpha_mask is not None:
+            mask = mask * pad2(c.alpha_mask, c.height, c.width)
+        out.append(dataclasses.replace(
+            c,
+            image=pad2(c.image, c.height, c.width),
+            invdepth=pad2(c.invdepth, c.height, c.width)
+            if have_depth else None,
+            depth_mask=pad2(c.depth_mask, c.height, c.width)
+            if have_dmask else None,
+            alpha_mask=mask,
+            pix_wh=jnp.asarray([c.width, c.height], jnp.float32),
+            tan_wh=jnp.asarray([c.tan_fovx, c.tan_fovy], jnp.float32),
+            height=H, width=W, fovx=0.0, fovy=0.0))
+    return stack_cameras(out)

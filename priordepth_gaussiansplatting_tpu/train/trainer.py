@@ -62,6 +62,13 @@ class Trainer:
         if model_cfg.model_path:
             save_cfg_args(model_cfg.model_path, model_cfg)
 
+        # One (5,) device vector per step; fetched in stacked batches.
+        self._pack_metrics = jax.jit(lambda m: jnp.stack([
+            m["loss"].astype(jnp.float32), m["l1"].astype(jnp.float32),
+            m["n_active"].astype(jnp.float32),
+            m.get("num_pairs", jnp.int32(0)).astype(jnp.float32),
+            m.get("overflow", jnp.int32(0)).astype(jnp.float32)]))
+
     # ------------------------------------------------------------- loop
     def pick_camera(self) -> Camera:
         """Random pop from a reshuffled stack (`train.py:129-135`)."""
@@ -122,31 +129,33 @@ class Trainer:
             if opt.floating_prune_iter and it == opt.floating_prune_iter:
                 self.run_floating_prune()
 
-            # Defer materialising device metrics: a float() every step
-            # blocks the host on the step's completion and kills the
-            # dispatch pipeline. Metrics batch up as device scalars and are
-            # pulled every 10 iterations (and before any event that needs
-            # them), so steps i..i+9 stay queued on the device.
-            pending.append((it, metrics))
-            if (it % 10 == 0 or it >= total or it in test_iterations
+            # Defer materialising device metrics: every host fetch through
+            # the TPU tunnel costs a ~30 ms round trip, so per-step (or even
+            # per-scalar) pulls dominate small-scene training. Metrics batch
+            # up as device (5,)-vectors and are pulled every 50 iterations
+            # as ONE stacked transfer; steps in between stay queued.
+            pending.append((it, self._pack_metrics(metrics)))
+            if (it % 50 == 0 or it >= total or it in test_iterations
                     or it in save_iterations or it in checkpoint_iterations):
-                for jt, m in pending:
-                    loss = float(m["loss"])
+                rows = np.asarray(jnp.stack([v for _, v in pending]))
+                for (jt, _), row in zip(pending, rows):
+                    loss, l1, n_active, num_pairs, overflow = (
+                        float(row[0]), float(row[1]), int(row[2]),
+                        int(row[3]), int(row[4]))
                     self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
-                    if "num_pairs" in m and jt % 100 == 0:
-                        self._adapt_pair_capacity(int(m["num_pairs"]),
-                                                  int(m["overflow"]))
+                    if jt % 100 == 0:
+                        self._adapt_pair_capacity(num_pairs, overflow)
                     if jt % 10 == 0:
                         # Reference TB scalar names (train.py:402-445).
                         self.logger.scalars({
-                            "train_loss_patches/l1_loss": float(m["l1"]),
+                            "train_loss_patches/l1_loss": l1,
                             "train_loss_patches/total_loss": loss,
-                            "total_points": int(m["n_active"]),
+                            "total_points": n_active,
                             "iter_time": time.time() - t_start,
                         }, jt)
                     if not self.quiet and jt % 100 == 0:
                         print(f"[it {jt}/{total}] loss {self.ema_loss:.5f} "
-                              f"gaussians {int(m['n_active'])} "
+                              f"gaussians {n_active} "
                               f"({(time.time() - t_start):.1f}s)", flush=True)
                 pending.clear()
 

@@ -176,3 +176,76 @@ def test_silog_no_nan_for_near_constant_errors():
     pred = gt * 1.37  # near-constant log error
     m = dm.compute_errors(gt, pred)
     assert np.isfinite(m["silog"]) and m["silog"] >= 0.0
+
+
+def _write_png16(path, arr):
+    from PIL import Image
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray(arr.astype(np.uint16)).save(path)
+
+
+def _write_rgb(path, h, w):
+    from PIL import Image
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray(np.full((h, w, 3), 128, np.uint8)).save(path)
+
+
+def test_kitti_layout_walker_and_kb_crop(tmp_path):
+    """KITTI raw + depth-annotated layouts discovered, metres*256 decoding,
+    bottom-centre 352x1216 kb crop (`data_mono.py` conventions)."""
+    from priordepth_gaussiansplatting_tpu.depth import data as dd
+    root = tmp_path / "raw"
+    gt = tmp_path / "gt"
+    drive = "2011_09_26_drive_0002_sync"
+    _write_rgb(str(root / "2011_09_26" / drive / "image_02" / "data"
+                   / "0000000069.png"), 375, 1242)
+    depth = np.zeros((375, 1242), np.float32)
+    depth[200, 600] = 5.0
+    _write_png16(str(gt / drive / "proj_depth" / "groundtruth" / "image_02"
+                     / "0000000069.png"), depth * 256.0)
+    # a frame without gt must be skipped
+    _write_rgb(str(root / "2011_09_26" / drive / "image_02" / "data"
+                   / "0000000070.png"), 375, 1242)
+    ds = dd.KittiDepthDataset(str(root), str(gt))
+    assert len(ds) == 1
+    s = ds[0]
+    assert s.image.shape == (352, 1216)[0:1] + (1216, 3)
+    assert s.depth.shape == (352, 1216)
+    # kb crop: top=375-352=23, left=(1242-1216)//2=13 -> (200,600)->(177,587)
+    assert s.depth[177, 587] == pytest.approx(5.0, rel=1e-3)
+    assert s.mask[177, 587] and s.mask.sum() == 1
+
+
+def test_nyu_layout_walker(tmp_path):
+    from priordepth_gaussiansplatting_tpu.depth import data as dd
+    scene = tmp_path / "kitchen_0004"
+    _write_rgb(str(scene / "rgb_00045.jpg"), 60, 80)
+    d = np.zeros((60, 80), np.float32)
+    d[30, 40] = 2.5
+    _write_png16(str(scene / "sync_depth_00045.png"), d * 1000.0)
+    ds = dd.NyuDepthDataset(str(tmp_path))
+    assert len(ds) == 1
+    s = ds[0]
+    assert s.depth[30, 40] == pytest.approx(2.5, rel=1e-3)
+    assert s.mask.sum() == 1
+
+
+def test_txt_split_dataset(tmp_path):
+    """Reference filenames-file format: `rgb_rel depth_rel focal`, 'None'
+    depth -> empty mask, kb_crop honoured."""
+    from priordepth_gaussiansplatting_tpu.depth import data as dd
+    _write_rgb(str(tmp_path / "d" / "a.png"), 375, 1242)
+    dep = np.zeros((375, 1242), np.float32)
+    dep[100, 100] = 10.0
+    _write_png16(str(tmp_path / "g" / "a_d.png"), dep * 256.0)
+    fn = tmp_path / "files.txt"
+    fn.write_text("d/a.png g/a_d.png 721.5\n"
+                  "d/a.png None 721.5\n")
+    ds = dd.TxtSplitDepthDataset(str(tmp_path), str(tmp_path),
+                                 str(fn), do_kb_crop=True)
+    assert len(ds) == 2
+    s0 = ds[0]
+    assert s0.depth.shape == (352, 1216)
+    assert s0.mask.sum() == 1
+    s1 = ds[1]
+    assert s1.mask.sum() == 0

@@ -133,3 +133,93 @@ def test_scene_loads_aligned_depth_and_trains(tmp_path):
                        jnp.zeros(3))
     assert float(m["depth_loss"]) > 0.0
     assert np.isfinite(float(m["loss"]))
+
+
+def test_depth_model_learns_and_generates_usable_priors(tmp_path):
+    """VERDICT r1 item 6: the native depth stack must be able to LEARN and
+    then produce priors the splatting loop consumes — DepthTrainer drives
+    SILog down materially on the scene's (image, true-depth) pairs, then
+    infer_with_tta -> save_invdepth_png -> make_depth_scale -> Scene yields
+    reliable aligned priors and a depth-feedback step trains
+    (`zoedepth/trainers/zoedepth_trainer.py:39-104` analog, end to end)."""
+    from priordepth_gaussiansplatting_tpu.depth.infer import (
+        generate_depth_priors, infer_with_tta)
+    from priordepth_gaussiansplatting_tpu.depth.model import DepthModel
+    from priordepth_gaussiansplatting_tpu.depth.trainer import (
+        DepthTrainer, DepthTrainerConfig)
+
+    root = _make_colmap_scene_with_depth(str(tmp_path / "scene"), n_views=4,
+                                         size=48)
+    size, focal = 48, 48 / (2 * np.tan(0.4))
+
+    # (image, TRUE metric depth) pairs for the scene's views.
+    imgs, depths = [], []
+    for v in range(4):
+        img = np.asarray(Image.open(f"{root}/images/view_{v}.png"),
+                         np.float32) / 255.0
+        eye = np.array([0.3 * (v - 1.5), 0.1 * v, -2.5])
+        fwd = -eye / np.linalg.norm(eye)
+        right = np.cross([0, -1, 0], fwd)
+        right /= np.linalg.norm(right)
+        down = np.cross(fwd, right)
+        R = np.stack([right, down, fwd], axis=1)
+        ys, xs = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+        dirs = np.stack([(xs - size / 2) / focal, (ys - size / 2) / focal,
+                         np.ones_like(xs, np.float64)], axis=-1)
+        w_dirs = dirs @ R.T
+        camz = -eye[2] / w_dirs[..., 2] * w_dirs[..., 2] / 1.0
+        camz = -eye[2] / (dirs @ R.T)[..., 2]  # t along ray (unit cam z)
+        # camera-z of the plane hit: t * dir_z_cam = t * 1
+        imgs.append(img)
+        depths.append(camz.astype(np.float32))
+    # Batch of 8 (the conftest mesh has 8 virtual devices; DP shards B).
+    imgs = jnp.asarray(np.concatenate([np.stack(imgs)] * 2))
+    gts = jnp.asarray(np.concatenate([np.stack(depths)] * 2))
+    masks = jnp.ones(gts.shape, bool)
+
+    model = DepthModel(embed_dim=64, encoder_depth=2, n_bins=8,
+                       max_depth=8.0)
+    tr = DepthTrainer(model, DepthTrainerConfig(lr=3e-4, epochs=1,
+                                                steps_per_epoch=220))
+    tr.init(imgs[:1])
+    first = tr.train_step(imgs, gts, masks)
+    for _ in range(219):
+        last = tr.train_step(imgs, gts, masks)
+    assert np.isfinite(last)
+    assert last < 0.35 * first, (first, last)  # SILog dropped materially
+
+    # Predictions close to the true depth (plane at ~2.4-2.7 m).
+    pred = np.asarray(infer_with_tta(model.apply, tr.params, imgs))
+    rel = np.abs(pred - np.asarray(gts)) / np.asarray(gts)
+    assert np.median(rel) < 0.1, np.median(rel)
+
+    # Regenerate the depths/ dir from the MODEL (not synthetic priors).
+    out_depths = f"{root}/depths_model"
+    generate_depth_priors(model.apply, tr.params, f"{root}/images",
+                          out_depths)
+    params = make_depth_scale(root, out_depths)
+    assert all(p["scale"] > 0 for p in params.values())
+    scene = ds.Scene(root, "", depths="depths_model", shuffle=False)
+    cam = scene.train_cameras[0]
+    assert cam.invdepth is not None and cam.depth_reliable
+    center = float(cam.invdepth[cam.height // 2, cam.width // 2])
+    assert abs(center - 1.0 / 2.5) < 0.2, center
+
+    # One depth-feedback train step consumes the model priors.
+    from priordepth_gaussiansplatting_tpu.models import gaussians as gm
+    from priordepth_gaussiansplatting_tpu.train import optim, step as sl
+    from priordepth_gaussiansplatting_tpu.utils.config import (
+        OptimizationConfig, PipelineConfig)
+    xyz, cols, _ = scene.point_cloud()
+    st = gm.create_from_points(np.asarray(xyz), np.asarray(cols),
+                               num_images=len(scene.train_cameras),
+                               capacity=256,
+                               spatial_lr_scale=scene.cameras_extent)
+    opt = optim.init_adam(st.params)
+    fns = sl.make_train_step(
+        OptimizationConfig(depth_feedback=True, iterations=100),
+        PipelineConfig(backend="oracle"))
+    _, _, m = fns.step(st, opt, cam, jnp.asarray(1), jax.random.PRNGKey(0),
+                       jnp.zeros(3))
+    assert float(m["depth_loss"]) > 0.0
+    assert np.isfinite(float(m["loss"]))

@@ -172,3 +172,41 @@ def test_sharded_training_converges():
     # Random targets aren't fittable fast; require a steady downward trend.
     assert losses[-1] < losses[0] * 0.97, losses
     assert (np.diff(losses) < 0).mean() > 0.8, losses
+
+
+def test_mixed_resolution_dp_matches_native_losses():
+    """pad_camera_batch: cameras of DIFFERENT resolutions/intrinsics train
+    in one DP batch, and the batch loss equals the mean of each camera's
+    native-resolution single-device loss (zero-pad + masked losses are
+    exact because the SSIM conv is zero-same-padded)."""
+    rng = np.random.RandomState(3)
+    pts = rng.uniform(-0.8, 0.8, (24, 3)).astype(np.float32)
+    cols = rng.rand(24, 3).astype(np.float32)
+    state = gm.create_from_points(pts, cols, num_images=4, capacity=32)
+    cams = []
+    for i, (w, h) in enumerate(((48, 32), (32, 48))):
+        c = T.look_at_camera((0.2 * i, 0, -2.5), width=w, height=h,
+                             exposure_id=0)
+        img = jnp.asarray(rng.rand(3, h, w).astype(np.float32))
+        cams.append(dataclasses.replace(c, image=img))
+
+    opt_cfg = OptimizationConfig()
+    pipe_cfg = PipelineConfig(backend="oracle")
+
+    # Native per-camera losses via the single-device step.
+    fns = step_lib.make_train_step(opt_cfg, pipe_cfg)
+    native = []
+    for cam in cams:
+        st = jax.tree.map(jnp.array, state)
+        _, _, m = fns.step(st, optim.init_adam(st.params), cam,
+                           jnp.asarray(1), jax.random.PRNGKey(0),
+                           jnp.zeros(3))
+        native.append(float(m["loss"]))
+
+    mesh = mesh_lib.make_mesh(2, 1)
+    step = pstep.make_sharded_train_step(opt_cfg, pipe_cfg, mesh)
+    batch = pstep.pad_camera_batch(cams)
+    st = jax.tree.map(jnp.array, state)
+    _, _, m = step(st, optim.init_adam(st.params), batch, jnp.asarray(1),
+                   jax.random.PRNGKey(0), jnp.zeros(3))
+    assert float(m["loss"]) == pytest.approx(np.mean(native), rel=2e-5)
