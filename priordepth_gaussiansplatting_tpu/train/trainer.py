@@ -57,6 +57,7 @@ class Trainer:
         self._camera_stack: List[Camera] = []
         self.ema_loss = 0.0
         self.history: List[dict] = []
+        self._gt_logged = False
 
         self.logger = MetricsLogger(model_cfg.model_path)
         if model_cfg.model_path:
@@ -214,12 +215,23 @@ class Trainer:
             if not cams:
                 continue
             psnrs, l1s = [], []
-            for cam in cams:
+            for vi, cam in enumerate(cams):
                 r = step_lib.eval_image(
                     cam, self.state, self.bg,
                     antialiasing=self.pipe_cfg.antialiasing,
                     use_trained_exp=self.model_cfg.train_test_exp,
                     backend=self.pipe_cfg.backend)
+                # First-5-views image logging (`train.py:421-427`): render
+                # every eval, ground truth once (the reference gates GT on
+                # iteration == testing_iterations[0]).
+                if vi < 5:
+                    name = getattr(cam, "image_name", None) or f"view_{vi}"
+                    self.logger.image(
+                        f"{split}_view_{name}/render", r["render"], it)
+                    if cam.image is not None and not self._gt_logged:
+                        self.logger.image(
+                            f"{split}_view_{name}/ground_truth",
+                            cam.image, it)
                 if "psnr" in r:
                     psnrs.append(float(r["psnr"]))
                     l1s.append(float(r["l1"]))
@@ -234,6 +246,12 @@ class Trainer:
                     print(f"[it {it}] eval {split}: "
                           f"psnr {out[split]['psnr']:.2f} "
                           f"l1 {out[split]['l1']:.4f}", flush=True)
+        self._gt_logged = True
+        # Opacity histogram + point count (`train.py:439-442`).
+        active = np.asarray(self.state.active)
+        opacity = np.asarray(self.state.get_opacity())[active]
+        self.logger.histogram("scene/opacity_histogram", opacity, it)
+        self.logger.scalar("total_points", float(active.sum()), it)
         self.history.append({"iteration": it, **out})
         return out
 

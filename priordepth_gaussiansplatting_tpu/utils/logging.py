@@ -44,6 +44,49 @@ class MetricsLogger:
         for tag, v in values.items():
             self.scalar(tag, v, step)
 
+    def image(self, tag: str, img, step: int) -> None:
+        """Rendered/GT view logging (reference `train.py:421-427`
+        tb_writer.add_images). `img` is (3, H, W) float [0, 1]. TensorBoard
+        gets it natively; without TB a PNG artifact is written under
+        <model_path>/tb_images/ and its path recorded in the JSONL."""
+        img = np.asarray(img)
+        if self._tb is not None:
+            self._tb.add_images(tag, img[None], global_step=step)
+        if self.path:
+            out_dir = os.path.join(os.path.dirname(self.path), "tb_images")
+            os.makedirs(out_dir, exist_ok=True)
+            safe = tag.replace("/", "_").replace(" ", "_")
+            fname = os.path.join(out_dir, f"{safe}_{step}.png")
+            arr = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+            arr = np.transpose(arr, (1, 2, 0))
+            try:
+                from PIL import Image  # noqa: PLC0415
+                Image.fromarray(arr).save(fname)
+            except Exception:
+                return
+            if self._fh is not None:
+                self._fh.write(json.dumps(
+                    {"tag": tag, "image": fname, "step": int(step),
+                     "ts": time.time()}) + "\n")
+                self._fh.flush()
+
+    def histogram(self, tag: str, values, step: int, bins: int = 64) -> None:
+        """Histogram logging (reference `train.py:441`
+        tb_writer.add_histogram on the opacity vector). The JSONL records
+        the bin counts + edges so the distribution is reconstructible."""
+        values = np.asarray(values).reshape(-1)
+        if self._tb is not None:
+            self._tb.add_histogram(tag, values, global_step=step)
+        if self._fh is not None:
+            counts, edges = np.histogram(values, bins=bins)
+            self._fh.write(json.dumps(
+                {"tag": tag, "step": int(step), "ts": time.time(),
+                 "hist": {"counts": counts.tolist(),
+                          "lo": float(edges[0]), "hi": float(edges[-1]),
+                          "mean": float(values.mean()) if values.size else 0.0,
+                          "n": int(values.size)}}) + "\n")
+            self._fh.flush()
+
     def close(self) -> None:
         if self._fh is not None:
             self._fh.close()

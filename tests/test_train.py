@@ -195,3 +195,35 @@ def test_training_with_pallas_backend():
     assert np.isfinite(losses_seen).all()
     assert losses_seen[-1] < losses_seen[0]
     assert float(jnp.sum(st.xyz_gradient_accum)) > 0.0  # densify grads flow
+
+
+def test_metrics_logger_images_and_histograms(tmp_path):
+    """MetricsLogger image/histogram parity (reference train.py:421-441):
+    PNG artifacts + JSONL hist records exist and reconstruct the data."""
+    import json
+
+    from priordepth_gaussiansplatting_tpu.utils.logging import MetricsLogger
+
+    model_path = str(tmp_path)
+    lg = MetricsLogger(model_path)
+    img = np.linspace(0, 1, 3 * 8 * 8, dtype=np.float32).reshape(3, 8, 8)
+    lg.image("test_view_r0/render", img, 100)
+    vals = np.concatenate([np.zeros(10), np.ones(30)])
+    lg.histogram("scene/opacity_histogram", vals, 100, bins=4)
+    lg.close()
+
+    pngs = list((tmp_path / "tb_images").glob("*.png"))
+    assert len(pngs) == 1 and "100" in pngs[0].name
+    from PIL import Image
+    arr = np.asarray(Image.open(pngs[0]))
+    assert arr.shape == (8, 8, 3)
+
+    events = [json.loads(l) for l in
+              (tmp_path / "events.jsonl").read_text().splitlines()]
+    hists = [e for e in events if "hist" in e]
+    assert len(hists) == 1
+    h = hists[0]["hist"]
+    assert h["n"] == 40 and sum(h["counts"]) == 40
+    assert abs(h["mean"] - 0.75) < 1e-6
+    imgs = [e for e in events if "image" in e]
+    assert len(imgs) == 1
