@@ -342,3 +342,339 @@ class NyuDepthDataset:
             depth = np.asarray(dm, np.float32) / 1000.0
         mask = (depth > self.min_depth) & (depth < self.max_depth)
         return DepthSample(img, depth, mask)
+
+
+# --- Per-dataset EVAL loaders (reference zoedepth/data/{ibims,
+# sun_rgbd_loader, diml_indoor_test, diml_outdoor_test, diode, hypersim,
+# vkitti, vkitti2, ddad}.py) -------------------------------------------------
+#
+# Each walks the dataset's published on-disk layout and yields DepthSamples
+# with the reference's unit conversions and validity conventions; metric-time
+# caps/crops come from DATASET_PRESETS. Invalid pixels are encoded exactly as
+# the reference does (depth <= 0 -> masked).
+
+
+def _imread(path: str) -> np.ndarray:
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), np.float32) / 255.0
+
+
+def _mask_of(depth: np.ndarray, lo: float, hi: float) -> np.ndarray:
+    return (depth > lo) & (depth < hi)
+
+
+class IbimsDataset:
+    """iBims-1 layout (`ibims.py:35-69`): imagelist.txt names; rgb/<b>.png,
+    depth/<b>.png (uint16 * 50 / 65535 metres), mask_invalid/ + mask_transp/
+    binary PNGs; invalid pixels get depth -1."""
+
+    def __init__(self, root: str, min_depth: float = 1e-3,
+                 max_depth: float = 50.0):
+        self.root = root
+        self.min_depth, self.max_depth = min_depth, max_depth
+        with open(os.path.join(root, "imagelist.txt")) as f:
+            self.names = f.read().split()
+
+    def __len__(self):
+        return len(self.names)
+
+    def __getitem__(self, idx: int) -> DepthSample:
+        b = self.names[idx]
+        img = _imread(os.path.join(self.root, "rgb", b + ".png"))
+        with Image.open(os.path.join(self.root, "depth", b + ".png")) as dm:
+            depth = np.asarray(dm, np.float32) * 50.0 / 65535.0
+        with Image.open(os.path.join(self.root, "mask_invalid",
+                                     b + ".png")) as m:
+            valid = np.asarray(m, np.float32)
+        with Image.open(os.path.join(self.root, "mask_transp",
+                                     b + ".png")) as m:
+            transp = np.asarray(m, np.float32)
+        depth = np.where((valid * transp) > 0, depth, -1.0)
+        return DepthSample(img, depth,
+                           _mask_of(depth, self.min_depth, self.max_depth))
+
+
+class SunRGBDDataset:
+    """SUN RGB-D eval layout (`sun_rgbd_loader.py:80-100`):
+    rgb/rgb/*.jpg paired with gt/gt/*.png (uint16 mm); depth > 8 m -> -1."""
+
+    def __init__(self, root: str, min_depth: float = 1e-3,
+                 max_depth: float = 8.0):
+        self.min_depth, self.max_depth = min_depth, max_depth
+        img_dir = os.path.join(root, "rgb", "rgb")
+        self.image_files = sorted(
+            os.path.join(img_dir, f) for f in os.listdir(img_dir))
+        self.depth_files = [
+            f.replace(os.path.join("rgb", "rgb"), os.path.join("gt", "gt"))
+             .rsplit(".", 1)[0] + ".png" for f in self.image_files]
+
+    def __len__(self):
+        return len(self.image_files)
+
+    def __getitem__(self, idx: int) -> DepthSample:
+        img = _imread(self.image_files[idx])
+        with Image.open(self.depth_files[idx]) as dm:
+            depth = np.asarray(dm, np.float32) / 1000.0
+        depth = np.where(depth > 8.0, -1.0, depth)
+        return DepthSample(img, depth,
+                           _mask_of(depth, self.min_depth, self.max_depth))
+
+
+class DimlIndoorDataset:
+    """DIML indoor test layout (`diml_indoor_test.py:83-110`):
+    LR/<scene>/color/*_c.png paired with depth_filled/*_depth_filled.png
+    (uint16 mm)."""
+
+    def __init__(self, root: str, min_depth: float = 1e-3,
+                 max_depth: float = 10.0):
+        self.min_depth, self.max_depth = min_depth, max_depth
+        self.image_files = []
+        lr = os.path.join(root, "LR")
+        for scene in sorted(os.listdir(lr)) if os.path.isdir(lr) else []:
+            cdir = os.path.join(lr, scene, "color")
+            if os.path.isdir(cdir):
+                self.image_files += sorted(
+                    os.path.join(cdir, f) for f in os.listdir(cdir)
+                    if f.endswith(".png"))
+        self.depth_files = [
+            f.replace("color", "depth_filled")
+             .replace("_c.png", "_depth_filled.png")
+            for f in self.image_files]
+
+    def __len__(self):
+        return len(self.image_files)
+
+    def __getitem__(self, idx: int) -> DepthSample:
+        img = _imread(self.image_files[idx])
+        with Image.open(self.depth_files[idx]) as dm:
+            depth = np.asarray(dm, np.float32) / 1000.0
+        return DepthSample(img, depth,
+                           _mask_of(depth, self.min_depth, self.max_depth))
+
+
+class DimlOutdoorDataset:
+    """DIML outdoor test layout (`diml_outdoor_test.py:80-105`):
+    <set>/outleft/*.png paired with <set>/depthmap/*.png (uint16 mm)."""
+
+    def __init__(self, root: str, min_depth: float = 2.0,
+                 max_depth: float = 80.0):
+        self.min_depth, self.max_depth = min_depth, max_depth
+        self.image_files = []
+        for sub in sorted(os.listdir(root)) if os.path.isdir(root) else []:
+            odir = os.path.join(root, sub, "outleft")
+            if os.path.isdir(odir):
+                self.image_files += sorted(
+                    os.path.join(odir, f) for f in os.listdir(odir)
+                    if f.endswith(".png"))
+        self.depth_files = [f.replace("outleft", "depthmap")
+                            for f in self.image_files]
+
+    def __len__(self):
+        return len(self.image_files)
+
+    def __getitem__(self, idx: int) -> DepthSample:
+        img = _imread(self.image_files[idx])
+        with Image.open(self.depth_files[idx]) as dm:
+            depth = np.asarray(dm, np.float32) / 1000.0
+        return DepthSample(img, depth,
+                           _mask_of(depth, self.min_depth, self.max_depth))
+
+
+class DiodeDataset:
+    """DIODE layout (`diode.py:82-112`): <scene>/<scan>/*.png with
+    *_depth.npy (metres) + *_depth_mask.npy binary validity."""
+
+    def __init__(self, root: str, min_depth: float = 1e-3,
+                 max_depth: float = 80.0):
+        self.min_depth, self.max_depth = min_depth, max_depth
+        self.image_files = []
+        for scene in sorted(os.listdir(root)) if os.path.isdir(root) else []:
+            sdir = os.path.join(root, scene)
+            if not os.path.isdir(sdir):
+                continue
+            for scan in sorted(os.listdir(sdir)):
+                d = os.path.join(sdir, scan)
+                if os.path.isdir(d):
+                    self.image_files += sorted(
+                        os.path.join(d, f) for f in os.listdir(d)
+                        if f.endswith(".png"))
+        self.depth_files = [f[:-4] + "_depth.npy" for f in self.image_files]
+        self.mask_files = [f[:-4] + "_depth_mask.npy"
+                           for f in self.image_files]
+
+    def __len__(self):
+        return len(self.image_files)
+
+    def __getitem__(self, idx: int) -> DepthSample:
+        img = _imread(self.image_files[idx])
+        depth = np.load(self.depth_files[idx]).astype(np.float32)
+        depth = depth.reshape(depth.shape[:2])
+        valid = np.load(self.mask_files[idx]).astype(bool)
+        valid = valid.reshape(valid.shape[:2])
+        mask = valid & _mask_of(depth, self.min_depth, self.max_depth)
+        return DepthSample(img, depth, mask)
+
+
+def hypersim_distance_to_depth(dist: np.ndarray,
+                               focal: float = 886.81) -> np.ndarray:
+    """Euclidean ray distance -> planar depth (`hypersim.py:36-48`), for the
+    actual image size (the reference hardcodes 1024x768)."""
+    h, w = dist.shape[:2]
+    x = (np.linspace(-0.5 * w + 0.5, 0.5 * w - 0.5, w, dtype=np.float32)
+         .reshape(1, w).repeat(h, 0))
+    y = (np.linspace(-0.5 * h + 0.5, 0.5 * h - 0.5, h, dtype=np.float32)
+         .reshape(h, 1).repeat(w, 1))
+    norm = np.sqrt(x * x + y * y + focal * focal)
+    return dist.reshape(h, w) / norm * focal
+
+
+class HypersimDataset:
+    """Hypersim test layout (`hypersim.py:98-131`):
+    <scene>/images/scene_cam_*_final_preview/*.tonemap.jpg with depth at
+    .../_geometry_hdf5/*.depth_meters.hdf5 (ray distance -> planar depth).
+    Requires h5py (gated: raises ImportError at iteration if absent)."""
+
+    def __init__(self, root: str, min_depth: float = 1e-3,
+                 max_depth: float = 10.0):
+        self.min_depth, self.max_depth = min_depth, max_depth
+        self.image_files = []
+        for scene in sorted(os.listdir(root)) if os.path.isdir(root) else []:
+            idir = os.path.join(root, scene, "images")
+            if not os.path.isdir(idir):
+                continue
+            for cam in sorted(os.listdir(idir)):
+                if not (cam.startswith("scene_cam_")
+                        and cam.endswith("_final_preview")):
+                    continue
+                d = os.path.join(idir, cam)
+                self.image_files += sorted(
+                    os.path.join(d, f) for f in os.listdir(d)
+                    if f.endswith(".tonemap.jpg"))
+        self.depth_files = [
+            f.replace("_final_preview", "_geometry_hdf5")
+             .replace(".tonemap.jpg", ".depth_meters.hdf5")
+            for f in self.image_files]
+
+    def __len__(self):
+        return len(self.image_files)
+
+    def __getitem__(self, idx: int) -> DepthSample:
+        import h5py  # noqa: PLC0415 — optional dependency
+        img = _imread(self.image_files[idx])
+        with h5py.File(self.depth_files[idx], "r") as fd:
+            dist = np.array(fd["dataset"], np.float32)
+        depth = hypersim_distance_to_depth(dist)
+        return DepthSample(img, depth,
+                           _mask_of(depth, self.min_depth, self.max_depth))
+
+
+class VKitti2Dataset:
+    """Virtual KITTI 2 layout (`vkitti2.py:83-160`):
+    rgb/<scene>/<variant>/frames/rgb/Camera_0/rgb_*.jpg with depth PNGs
+    (uint16 cm) under depth/.../depth_*.png; kb_crop applied; depth > 80 m
+    -> -1. A deterministic 92/8 per-scene train/test split is written to
+    train.txt/test.txt on first walk (the reference shuffles randomly; here
+    the sorted order is split deterministically so runs agree)."""
+
+    def __init__(self, root: str, split: str = "test",
+                 min_depth: float = 1e-3, max_depth: float = 80.0,
+                 do_kb_crop: bool = True):
+        self.min_depth, self.max_depth = min_depth, max_depth
+        self.do_kb_crop = do_kb_crop
+        files = []
+        rgb_root = os.path.join(root, "rgb")
+        for dirpath, _, fnames in sorted(os.walk(rgb_root)):
+            if (os.path.basename(dirpath) == "Camera_0"
+                    and f"frames{os.sep}rgb" in dirpath):
+                files += sorted(os.path.join(dirpath, f) for f in fnames
+                                if f.startswith("rgb_") and
+                                f.endswith(".jpg"))
+        train_txt = os.path.join(root, "train.txt")
+        test_txt = os.path.join(root, "test.txt")
+        if not os.path.exists(train_txt):
+            by_scene = {}
+            for f in files:
+                scene = f[len(rgb_root):].lstrip(os.sep).split(os.sep)[0]
+                by_scene.setdefault(scene, []).append(f)
+            train, test = [], []
+            for scene in sorted(by_scene):
+                sf = by_scene[scene]
+                k = int(len(sf) * 0.92)
+                train += sf[:k]
+                test += sf[k:]
+            with open(train_txt, "w") as f:
+                f.write("\n".join(train))
+            with open(test_txt, "w") as f:
+                f.write("\n".join(test))
+        with open(train_txt if split == "train" else test_txt) as f:
+            self.image_files = [l for l in f.read().splitlines() if l]
+        self.depth_files = [
+            f.replace(f"{os.sep}rgb{os.sep}", f"{os.sep}depth{os.sep}")
+             .replace("rgb_", "depth_").replace(".jpg", ".png")
+            for f in self.image_files]
+
+    def __len__(self):
+        return len(self.image_files)
+
+    def __getitem__(self, idx: int) -> DepthSample:
+        img = _imread(self.image_files[idx])
+        with Image.open(self.depth_files[idx]) as dm:
+            depth = np.asarray(dm, np.float32) / 100.0  # cm -> m
+        if self.do_kb_crop:
+            img, depth = kb_crop(img), kb_crop(depth)
+        depth = np.where(depth > 80.0, -1.0, depth)
+        return DepthSample(img, depth,
+                           _mask_of(depth, self.min_depth, self.max_depth))
+
+
+class DdadDataset:
+    """DDAD eval layout (`ddad.py:82-110`): flat dir of *_rgb.png paired
+    with *_depth.npy metric depth arrays."""
+
+    def __init__(self, root: str, min_depth: float = 1e-3,
+                 max_depth: float = 80.0):
+        self.min_depth, self.max_depth = min_depth, max_depth
+        self.image_files = sorted(
+            os.path.join(root, f) for f in os.listdir(root)
+            if f.endswith("_rgb.png"))
+        self.depth_files = [f.replace("_rgb.png", "_depth.npy")
+                            for f in self.image_files]
+
+    def __len__(self):
+        return len(self.image_files)
+
+    def __getitem__(self, idx: int) -> DepthSample:
+        img = _imread(self.image_files[idx])
+        depth = np.load(self.depth_files[idx]).astype(np.float32)
+        depth = depth.reshape(depth.shape[:2])
+        return DepthSample(img, depth,
+                           _mask_of(depth, self.min_depth, self.max_depth))
+
+
+_EVAL_DATASETS = {
+    "ibims": IbimsDataset,
+    "sunrgbd": SunRGBDDataset,
+    "diml_indoor": DimlIndoorDataset,
+    "diml_outdoor": DimlOutdoorDataset,
+    "diode_indoor": DiodeDataset,
+    "diode_outdoor": DiodeDataset,
+    "hypersim": HypersimDataset,
+    "vkitti2": VKitti2Dataset,
+    "ddad": DdadDataset,
+}
+
+
+def make_eval_dataset(name: str, root: str, **kwargs):
+    """Per-dataset eval loader multiplexer (`data_mono.py:70-127`): returns
+    the layout walker for a named benchmark, with DATASET_PRESETS depth
+    bounds applied. KITTI/NYU use their train-layout walkers."""
+    if name == "kitti":
+        return KittiDepthDataset(kwargs.pop("data_path", root),
+                                 kwargs.pop("gt_path", root), **kwargs)
+    if name == "nyu":
+        return NyuDepthDataset(root, **kwargs)
+    cls = _EVAL_DATASETS[name]
+    preset = DATASET_PRESETS.get(name, {})
+    lo = kwargs.pop("min_depth", preset.get("min_depth_eval", 1e-3))
+    hi = kwargs.pop("max_depth", preset.get("max_depth_eval", 80.0))
+    return cls(root, min_depth=lo, max_depth=hi, **kwargs)

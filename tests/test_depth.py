@@ -249,3 +249,110 @@ def test_txt_split_dataset(tmp_path):
     assert s0.mask.sum() == 1
     s1 = ds[1]
     assert s1.mask.sum() == 0
+
+
+def test_eval_dataset_walkers(tmp_path):
+    """Per-dataset eval layouts (reference zoedepth/data/*.py): each walker
+    discovers its published on-disk structure and applies the dataset's unit
+    conversion and validity conventions."""
+    from priordepth_gaussiansplatting_tpu.depth import data as dd
+
+    # ibims: imagelist + rgb/depth (uint16*50/65535) + validity masks
+    ib = tmp_path / "ibims"
+    (ib / "rgb").mkdir(parents=True)
+    _write_rgb(str(ib / "rgb" / "i0.png"), 20, 30)
+    d = np.zeros((20, 30), np.float32)
+    d[5, 6] = 4.0
+    _write_png16(str(ib / "depth" / "i0.png"), d * 65535.0 / 50.0)
+    valid = np.ones((20, 30), np.float32)
+    valid[5, 7] = 0.0  # invalid pixel
+    _write_png16(str(ib / "mask_invalid" / "i0.png"), valid)
+    _write_png16(str(ib / "mask_transp" / "i0.png"),
+                 np.ones((20, 30), np.float32))
+    (ib / "imagelist.txt").write_text("i0\n")
+    s = dd.make_eval_dataset("ibims", str(ib))[0]
+    assert s.depth[5, 6] == pytest.approx(4.0, rel=1e-3)
+    assert s.depth[5, 7] == -1.0 and not s.mask[5, 7]
+
+    # sunrgbd: rgb/rgb/*.jpg + gt/gt/*.png mm
+    su = tmp_path / "sun"
+    _write_rgb(str(su / "rgb" / "rgb" / "a.jpg"), 16, 16)
+    d = np.zeros((16, 16), np.float32)
+    d[3, 3] = 2.0
+    d[4, 4] = 9.0  # > 8 m -> invalidated
+    _write_png16(str(su / "gt" / "gt" / "a.png"), d * 1000.0)
+    s = dd.make_eval_dataset("sunrgbd", str(su))[0]
+    assert s.depth[3, 3] == pytest.approx(2.0, rel=1e-3)
+    assert s.depth[4, 4] == -1.0 and s.mask.sum() == 1
+
+    # diml indoor: LR/<scene>/color/*_c.png + depth_filled
+    di = tmp_path / "diml"
+    _write_rgb(str(di / "LR" / "sc1" / "color" / "f_c.png"), 12, 12)
+    d = np.zeros((12, 12), np.float32)
+    d[2, 2] = 3.0
+    _write_png16(str(di / "LR" / "sc1" / "depth_filled"
+                     / "f_depth_filled.png"), d * 1000.0)
+    s = dd.make_eval_dataset("diml_indoor", str(di))[0]
+    assert s.depth[2, 2] == pytest.approx(3.0, rel=1e-3)
+
+    # diml outdoor: <set>/outleft + depthmap
+    do = tmp_path / "dimlo"
+    _write_rgb(str(do / "s1" / "outleft" / "x.png"), 12, 12)
+    d = np.zeros((12, 12), np.float32)
+    d[2, 2] = 30.0
+    _write_png16(str(do / "s1" / "depthmap" / "x.png"), d * 1000.0)
+    s = dd.make_eval_dataset("diml_outdoor", str(do))[0]
+    assert s.depth[2, 2] == pytest.approx(30.0, rel=1e-3)
+    assert s.mask[2, 2]  # outdoor eval floor is 2 m
+
+    # diode: scene/scan/*.png + _depth.npy + _depth_mask.npy
+    dio = tmp_path / "diode"
+    _write_rgb(str(dio / "scene1" / "scan1" / "p.png"), 10, 10)
+    d = np.zeros((10, 10, 1), np.float32)
+    d[1, 1, 0] = 5.0
+    np.save(str(dio / "scene1" / "scan1" / "p_depth.npy"), d)
+    m = np.zeros((10, 10), np.float32)
+    m[1, 1] = 1.0
+    np.save(str(dio / "scene1" / "scan1" / "p_depth_mask.npy"), m)
+    s = dd.make_eval_dataset("diode_indoor", str(dio))[0]
+    assert s.depth[1, 1] == pytest.approx(5.0) and s.mask.sum() == 1
+
+    # vkitti2: rgb/<scene>/<var>/frames/rgb/Camera_0/rgb_*.jpg, cm depth,
+    # kb_crop, split files autogenerated
+    vk = tmp_path / "vk2"
+    base = vk / "rgb" / "Scene01" / "clone" / "frames" / "rgb" / "Camera_0"
+    for i in range(3):
+        _write_rgb(str(base / f"rgb_{i:05d}.jpg"), 375, 1242)
+        d = np.zeros((375, 1242), np.float32)
+        d[200, 600] = 12.0
+        _write_png16(str(vk / "depth" / "Scene01" / "clone" / "frames"
+                         / "depth" / "Camera_0" / f"depth_{i:05d}.png"),
+                     d * 100.0)
+    ds = dd.make_eval_dataset("vkitti2", str(vk))
+    assert (vk / "train.txt").exists() and (vk / "test.txt").exists()
+    assert len(ds) >= 1
+    s = ds[0]
+    assert s.depth.shape == (352, 1216)
+    assert s.depth[177, 587] == pytest.approx(12.0, rel=1e-3)
+
+    # ddad: flat *_rgb.png + *_depth.npy
+    dd_root = tmp_path / "ddad"
+    _write_rgb(str(dd_root / "000_rgb.png"), 10, 10)
+    d = np.zeros((10, 10), np.float32)
+    d[4, 4] = 25.0
+    np.save(str(dd_root / "000_depth.npy"), d)
+    s = dd.make_eval_dataset("ddad", str(dd_root))[0]
+    assert s.depth[4, 4] == pytest.approx(25.0) and s.mask.sum() == 1
+
+
+def test_hypersim_distance_to_depth():
+    """Ray distance at the principal point equals planar depth; off-axis
+    distances shrink by cos(angle) (`hypersim.py:36-48`)."""
+    from priordepth_gaussiansplatting_tpu.depth import data as dd
+    dist = np.full((8, 8), 10.0, np.float32)
+    depth = dd.hypersim_distance_to_depth(dist, focal=100.0)
+    # centre pixels (offsets +-0.5) are nearly planar
+    assert depth[4, 4] == pytest.approx(10.0, rel=1e-4)
+    # corner pixel: offset (3.5, 3.5) -> depth = 10*f/sqrt(f^2+24.5)
+    exp = 10.0 * 100.0 / np.sqrt(100.0 ** 2 + 2 * 3.5 ** 2)
+    assert depth[0, 0] == pytest.approx(exp, rel=1e-5)

@@ -7,13 +7,16 @@ Variants (monkeypatched module constants; fresh pallas builds each):
   chunk128    — CHUNK=128
   unaligned   — chunk 0 starts exactly at tile_start (unaligned lane DMA)
 
+Timing uses chainbench (the axon runtime is lazy: independent dispatches
+are elided, so naive block_until_ready loops measure dispatch only).
+
 Usage: python tools/kernel_ab.py [n_gaussians] [variants...]
 """
 
 from __future__ import annotations
 
+import os
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -24,17 +27,8 @@ try:
 except Exception:
     pass
 
-
-def bench(name, fn, *args, iters=20):
-    f = jax.jit(fn)
-    r = jax.block_until_ready(f(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = f(*args)
-    jax.block_until_ready(r)
-    dt = (time.perf_counter() - t0) / iters
-    print(f"{name:<34} {dt * 1000:8.2f} ms", flush=True)
-    return dt
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from chainbench import chain_bench  # noqa: E402
 
 
 def main(argv):
@@ -42,8 +36,6 @@ def main(argv):
     variants = [a for a in argv if not a.isdigit()] or [
         "base", "chunk512", "chunk128", "unaligned"]
     w, h = 1600, 1066
-
-    from functools import partial
 
     from priordepth_gaussiansplatting_tpu.core import transforms
     from priordepth_gaussiansplatting_tpu.ops import binning
@@ -64,20 +56,20 @@ def main(argv):
             cam.world_view, cam.full_proj, cam.cam_center,
             w, h, cam.tan_fovx, cam.tan_fovy, antialiasing=True)
 
-    npairs = int(jax.jit(lambda p: binning.bin_gaussians(
-        project(p), w, h, rp.default_pair_capacity(n)).num_pairs)(params))
-    cap = rp.round_capacity(int(npairs * 1.1))
-    print(f"pairs={npairs} cap={cap}", flush=True)
-
+    probe_cap = rp.default_pair_capacity(n)
     proj = jax.jit(project)(params)
-    binned = jax.jit(partial(binning.bin_gaussians, width=w, height=h,
-                             pair_capacity=cap))(proj)
-    attrs = jax.jit(binning.pack_attributes)(proj)
-    sa = jax.jit(lambda a: a[:, binned.gauss_ids])(attrs)
-    pair_valid = (jnp.arange(cap) < binned.num_pairs)[None, :]
-    sa = jnp.where(pair_valid, sa, 0.0)
+    aux0 = jax.jit(lambda pr: binning.bin_sorted_pairs(
+        pr, w, h, probe_cap)[1])(proj)
+    p_cap = rp.round_capacity(int(int(aux0["num_rect"]) * 1.05))
+    v_cap = rp.round_capacity(int(int(aux0["num_valid"]) * 1.05))
+    print(f"rect={int(aux0['num_rect'])} valid={int(aux0['num_valid'])} "
+          f"p_cap={p_cap} v_cap={v_cap}", flush=True)
+
+    sorted_attrs, aux = jax.jit(lambda pr: binning.bin_sorted_pairs(
+        pr, w, h, p_cap, v_cap))(proj)
     grid_x, grid_y = binning.grid_shape(w, h)
     tile_ids = jnp.arange(grid_x * grid_y, dtype=jnp.int32)
+    tile_start, tile_end = aux["tile_start"], aux["tile_end"]
 
     orig_chunk = rp.CHUNK
     orig_range = rp._tile_range
@@ -99,23 +91,21 @@ def main(argv):
         elif v == "unaligned":
             rp._tile_range = unaligned_tile_range
         rp._make_composite.cache_clear()
-        p_pad = cap + max(rp.CHUNK, 256)
-        sa_p = jnp.pad(sa, ((0, rp.ROWS - rp.NROW), (0, p_pad - cap)))
-        comp = rp._make_composite(w, h, p_pad, False)
+        # _COMPOSITE_PAD (1024) covers every CHUNK variant's tail overrun.
+        comp = rp._make_composite(w, h, int(sorted_attrs.shape[1]), False)
 
         def fwd(a, comp=comp):
-            return comp(a, tile_ids, binned.tile_start, binned.tile_end)
+            return comp(a, tile_ids, tile_start, tile_end)
 
         def fwdbwd(a, comp=comp):
             def f(x):
-                c, d, t = comp(x, tile_ids, binned.tile_start,
-                               binned.tile_end)
+                c, d, t = comp(x, tile_ids, tile_start, tile_end)
                 return jnp.sum(c) + jnp.sum(d) + jnp.sum(t)
             return jax.grad(f)(a)
 
         try:
-            bench(f"{v}: composite fwd", fwd, sa_p)
-            bench(f"{v}: composite fwd+bwd", fwdbwd, sa_p)
+            chain_bench(f"{v}: composite fwd", fwd, sorted_attrs)
+            chain_bench(f"{v}: composite fwd+bwd", fwdbwd, sorted_attrs)
         except Exception as e:  # noqa: BLE001 — report and continue A/B
             print(f"{v}: FAILED {type(e).__name__}: {str(e)[:200]}",
                   flush=True)
