@@ -53,9 +53,10 @@ def main(argv):
             cam.world_view, cam.full_proj, cam.cam_center,
             w, h, cam.tan_fovx, cam.tan_fovy, antialiasing=True)
 
+    # Identical program shape to bench.py's probe step -> compile-cache hit.
     probe_cap = rp.default_pair_capacity(n)
-    aux0 = jax.jit(lambda p: binning.bin_sorted_pairs(
-        project(p), w, h, probe_cap)[1])(params)
+    _, aux0 = jax.jit(lambda p: binning.bin_sorted_pairs(
+        project(p), w, h, probe_cap))(params)
     n_rect, n_valid = int(aux0["num_rect"]), int(aux0["num_valid"])
     p_cap = rp.round_capacity(int(n_rect * 1.05))
     v_cap = rp.round_capacity(int(n_valid * 1.05))
