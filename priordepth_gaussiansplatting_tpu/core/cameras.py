@@ -105,6 +105,11 @@ class Camera:
     # width/height then describe the canvas and fovx/fovy are zeroed.
     pix_wh: Optional[jnp.ndarray] = None
     tan_wh: Optional[jnp.ndarray] = None
+    # DP batching (parallel/step.stack_cameras): the per-camera exposure
+    # index as a TRACED leaf, so one compiled program serves a batch of
+    # different training views. When set it overrides the static
+    # exposure_id for the exposure-table lookup.
+    exposure_idx: Optional[jnp.ndarray] = None
     height: int = dataclasses.field(metadata=dict(static=True), default=0)
     width: int = dataclasses.field(metadata=dict(static=True), default=0)
     fovx: float = dataclasses.field(metadata=dict(static=True), default=0.0)

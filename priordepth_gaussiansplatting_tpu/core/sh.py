@@ -13,6 +13,7 @@ convention, matching the reference renderer's colour model).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # Standard real spherical harmonics normalisation constants.
@@ -108,14 +109,34 @@ def sh_basis(dirs: jnp.ndarray, degree: int) -> jnp.ndarray:
 
 
 def eval_sh(degree: int, sh_coeffs: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
-    """Evaluate SH colour. sh_coeffs: (..., K, C) with K >= (degree+1)**2.
+    """Evaluate SH colour. Returns (..., 3).
 
-    Matches the reference colour model (`utils/sh_utils.py:57-118`) but as a
-    single basis-contraction. Returns (..., C).
+    sh_coeffs is either FLAT (..., 3K) with channel-minor interleaving
+    (column 3k+c = coefficient k, channel c — the model-store layout) or
+    legacy (..., K, 3).
+
+    TPU layout note: any (N, K, 3) array is physically tiled on its last
+    two dims, padding the 3-wide minor dim to 128 lanes — elementwise ops
+    on that shape run ~40x slower than on (N, 3K) (measured 25 ms vs ~0 ms
+    for a multiply at N=1M). The flat path therefore works entirely in 2-D:
+    the basis is expanded to the interleaved columns with an exact 0/1
+    matmul, multiplied elementwise, and channel-reduced with another 0/1
+    matmul — the einsum's (N,16,3) intermediates (and its ~25 ms VJP) never
+    exist.
     """
     k = num_sh_bases(degree)
     basis = sh_basis(dirs, degree)
-    return jnp.einsum("...k,...kc->...c", basis, sh_coeffs[..., :k, :])
+    if sh_coeffs.ndim == dirs.ndim + 1:  # legacy (..., K, 3)
+        return jnp.einsum("...k,...kc->...c", basis, sh_coeffs[..., :k, :])
+    import numpy as np
+    expand = jnp.asarray(np.kron(np.eye(k, dtype=np.float32),
+                                 np.ones((1, 3), np.float32)))   # (k, 3k)
+    reduce_ = jnp.asarray(np.tile(np.eye(3, dtype=np.float32),
+                                  (k, 1)))                       # (3k, 3)
+    hi = jax.lax.Precision.HIGHEST  # 0/1 operands: exact selection/sum
+    b3 = jnp.matmul(basis, expand, precision=hi)     # (..., 3k)
+    prod = b3 * sh_coeffs[..., :3 * k]
+    return jnp.matmul(prod, reduce_, precision=hi)   # (..., 3)
 
 
 def sh_to_color(degree: int, sh_coeffs: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:

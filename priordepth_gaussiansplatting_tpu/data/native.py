@@ -150,8 +150,14 @@ def save_gaussian_ply(path: str, xyz, features_dc, features_rest,
     if lib is None:
         return False
     n = xyz.shape[0]
-    f_dc = np.asarray(features_dc).transpose(0, 2, 1).reshape(n, -1)
-    f_rest = np.asarray(features_rest).transpose(0, 2, 1).reshape(n, -1)
+    features_dc = np.asarray(features_dc)
+    features_rest = np.asarray(features_rest)
+    if features_dc.ndim == 2:  # flat model-store layout (see data/ply.py)
+        features_dc = features_dc.reshape(n, 1, 3)
+    if features_rest.ndim == 2:
+        features_rest = features_rest.reshape(n, -1, 3)
+    f_dc = features_dc.transpose(0, 2, 1).reshape(n, -1)
+    f_rest = features_rest.transpose(0, 2, 1).reshape(n, -1)
     attrs = np.ascontiguousarray(np.concatenate(
         [np.asarray(xyz), np.zeros((n, 3), np.float32), f_dc, f_rest,
          np.asarray(opacity).reshape(n, 1), np.asarray(scaling),

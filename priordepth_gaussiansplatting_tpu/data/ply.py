@@ -69,12 +69,21 @@ def save_gaussian_ply(path: str, xyz, features_dc, features_rest,
                       opacity, scaling, rotation) -> None:
     """Write the Gaussian-model PLY (reference `save_ply` layout).
 
-    Args use storage-space values: features (N, K, 3), opacity (N, 1) logit,
-    scaling (N, 3) log, rotation (N, 4) unnormalised.
+    Args use storage-space values: features either FLAT channel-minor
+    ((N, 3) dc / (N, 3(K-1)) rest — the model-store layout) or legacy
+    (N, K, 3); opacity (N, 1) logit, scaling (N, 3) log, rotation (N, 4)
+    unnormalised. On disk f_rest is CHANNEL-major (f_rest_{c*(K-1)+k}),
+    byte-compatible with the reference `save_ply`.
     """
     n = xyz.shape[0]
-    f_dc = np.asarray(features_dc).transpose(0, 2, 1).reshape(n, -1)
-    f_rest = np.asarray(features_rest).transpose(0, 2, 1).reshape(n, -1)
+    features_dc = np.asarray(features_dc)
+    features_rest = np.asarray(features_rest)
+    if features_dc.ndim == 2:  # flat (N, 3) -> (N, 1, 3)
+        features_dc = features_dc.reshape(n, 1, 3)
+    if features_rest.ndim == 2:  # flat k-major (N, 3(K-1)) -> (N, K-1, 3)
+        features_rest = features_rest.reshape(n, -1, 3)
+    f_dc = features_dc.transpose(0, 2, 1).reshape(n, -1)
+    f_rest = features_rest.transpose(0, 2, 1).reshape(n, -1)
     names = (["x", "y", "z", "nx", "ny", "nz"]
              + [f"f_dc_{i}" for i in range(f_dc.shape[1])]
              + [f"f_rest_{i}" for i in range(f_rest.shape[1])]
@@ -111,8 +120,10 @@ def load_gaussian_ply(path: str):
                        key=lambda s: int(s.split("_")[-1]))
     return {
         "xyz": xyz,
-        "features_dc": f_dc.reshape(n, 1, 3).astype(np.float32),
-        "features_rest": features_rest.astype(np.float32),
+        # FLAT channel-minor model-store layout (see save_gaussian_ply).
+        "features_dc": f_dc.reshape(n, 3).astype(np.float32),
+        "features_rest": np.ascontiguousarray(
+            features_rest.reshape(n, -1)).astype(np.float32),
         "opacity": opacity,
         "scaling": np.stack([el[nm] for nm in scale_names], 1).astype(np.float32),
         "rotation": np.stack([el[nm] for nm in rot_names], 1).astype(np.float32),

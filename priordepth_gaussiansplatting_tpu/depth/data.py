@@ -316,9 +316,14 @@ class NyuDepthDataset:
     uint16 metres*1000; the eigen crop happens at metric time."""
 
     def __init__(self, root: str, min_depth: float = 1e-3,
-                 max_depth: float = 10.0):
+                 max_depth: float = 10.0, avoid_boundary: bool = False):
         self.min_depth = min_depth
         self.max_depth = max_depth
+        # NYU train frames carry a white registration border; with
+        # `avoid_boundary` the border is cropped and reflect-padded back
+        # (depth zero-padded = unsupervised), matching the reference's
+        # data_mono.py:324-341 option.
+        self.avoid_boundary = avoid_boundary
         self.pairs = []
         for scene in sorted(os.listdir(root)):
             spath = os.path.join(root, scene)
@@ -337,9 +342,13 @@ class NyuDepthDataset:
     def __getitem__(self, idx: int) -> DepthSample:
         rgb_p, gt_p = self.pairs[idx]
         with Image.open(rgb_p) as im:
-            img = np.asarray(im.convert("RGB"), np.float32) / 255.0
+            img8 = np.asarray(im.convert("RGB"), np.uint8)
         with Image.open(gt_p) as dm:
             depth = np.asarray(dm, np.float32) / 1000.0
+        if self.avoid_boundary:
+            from .preprocess import avoid_boundary as _ab  # noqa: PLC0415
+            img8, depth = _ab(img8, depth)
+        img = img8.astype(np.float32) / 255.0
         mask = (depth > self.min_depth) & (depth < self.max_depth)
         return DepthSample(img, depth, mask)
 
@@ -598,7 +607,14 @@ class VKitti2Dataset:
                 by_scene.setdefault(scene, []).append(f)
             train, test = [], []
             for scene in sorted(by_scene):
-                sf = by_scene[scene]
+                # Fixed-seed per-scene shuffle before the 92/8 split — the
+                # reference protocol splits randomly per scene; a sorted
+                # (temporally contiguous) tail would correlate test frames
+                # with the train-set boundary.
+                import zlib  # noqa: PLC0415
+                sf = sorted(by_scene[scene])
+                seed = zlib.crc32(scene.encode()) % (2 ** 31)
+                np.random.RandomState(seed).shuffle(sf)
                 k = int(len(sf) * 0.92)
                 train += sf[:k]
                 test += sf[k:]

@@ -73,9 +73,15 @@ class RunningAverageDict:
 
 def evaluate_dataset(apply_fn, params, dataset, preset: dict,
                      batch: int = 1, use_tta: bool = True,
-                     limit: int | None = None) -> dict:
+                     limit: int | None = None,
+                     avoid_boundary: bool = False) -> dict:
     """Run a depth model over an eval dataset with the preset's caps/crop
-    (the reference `BaseTrainer.validate` + compute_metrics loop)."""
+    (the reference `BaseTrainer.validate` + compute_metrics loop).
+
+    With `avoid_boundary`, inference is black-border-aware: the frame's
+    black registration border is cropped before inference and the
+    prediction zero-padded back (reference zoedepth_trainer.py:113-144
+    `crop_aware_infer`)."""
     import jax.numpy as jnp
 
     from .infer import infer_with_tta
@@ -84,6 +90,25 @@ def evaluate_dataset(apply_fn, params, dataset, preset: dict,
     n = len(dataset) if limit is None else min(limit, len(dataset))
     for i in range(n):
         s = dataset[i]
+        if avoid_boundary:
+            from .preprocess import crop_aware_infer  # noqa: PLC0415
+
+            def one(img):
+                xi = jnp.asarray(img)[None]
+                if use_tta:
+                    return np.asarray(infer_with_tta(apply_fn, params,
+                                                     xi)[0]).squeeze()
+                return np.asarray(
+                    apply_fn(params, xi)["metric_depth"][0]).squeeze()
+
+            pred = crop_aware_infer(one, np.asarray(s.image))
+            ra.update(compute_metrics(
+                np.asarray(s.depth), np.asarray(pred),
+                min_depth_eval=preset.get("min_depth_eval", 1e-3),
+                max_depth_eval=preset.get("max_depth_eval", 10.0),
+                garg_crop=preset.get("garg_crop", False),
+                eigen_crop=preset.get("eigen_crop", False)))
+            continue
         x = jnp.asarray(s.image)[None]
         if use_tta:
             pred = infer_with_tta(apply_fn, params, x)[0]
@@ -96,3 +121,41 @@ def evaluate_dataset(apply_fn, params, dataset, preset: dict,
             garg_crop=preset.get("garg_crop", False),
             eigen_crop=preset.get("eigen_crop", False)))
     return ra.get_value()
+
+
+def colorize(value, vmin=None, vmax=None, cmap: str = "magma_r",
+             invalid_val=-99, invalid_mask=None,
+             background_color=(128, 128, 128, 255),
+             gamma_corrected: bool = False, value_transform=None):
+    """Depth map -> uint8 RGBA colour image for experiment logging.
+
+    Re-derivation of the reference's `zoedepth/utils/misc.py:97` colorize:
+    percentile normalisation (2%/85%) over valid pixels, matplotlib
+    colormap, grey background for invalid pixels, optional gamma. Returns
+    (H, W, 4) uint8.
+    """
+    value = np.asarray(value, dtype=np.float32).squeeze()
+    if invalid_mask is None:
+        invalid_mask = value == invalid_val
+    mask = ~invalid_mask
+    if mask.any():
+        vmin = np.percentile(value[mask], 2) if vmin is None else vmin
+        vmax = np.percentile(value[mask], 85) if vmax is None else vmax
+    else:
+        vmin, vmax = 0.0, 1.0
+    value = ((value - vmin) / (vmax - vmin)) if vmin != vmax else value * 0.0
+    value = np.where(mask, value, np.nan)
+    try:
+        import matplotlib.cm  # noqa: PLC0415
+        img = matplotlib.cm.get_cmap(cmap)(
+            value_transform(value) if value_transform else value, bytes=True)
+    except Exception:  # grayscale fallback without matplotlib
+        g = np.clip(np.nan_to_num(value), 0.0, 1.0)
+        if cmap.endswith("_r"):
+            g = 1.0 - g
+        g8 = (g * 255).astype(np.uint8)
+        img = np.stack([g8, g8, g8, np.full_like(g8, 255)], axis=-1)
+    img[invalid_mask] = background_color
+    if gamma_corrected:
+        img = ((img / 255.0) ** 2.2 * 255).astype(np.uint8)
+    return img

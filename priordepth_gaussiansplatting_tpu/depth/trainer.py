@@ -55,6 +55,10 @@ class DepthTrainerConfig:
     min_depth: float = 1e-3
     max_depth: float = 10.0
     checkpoint_dir: str = ""
+    # Experiment logging (reference base_trainer.py:151-156 wandb setup;
+    # here the framework MetricsLogger: TB when available + JSONL).
+    log_dir: str = ""
+    log_every: int = 50
 
 
 class DepthTrainer:
@@ -76,6 +80,13 @@ class DepthTrainer:
         self.opt_state = None
         self.step_count = 0
         self._jit_step = None
+        # Rank-0-only structured experiment logging (the reference's wandb
+        # role, base_trainer.py:151-156/197-199): scalars per train step,
+        # eval metric dicts, colorized depth images.
+        self.logger = None
+        if cfg.log_dir and self.is_rank_zero:
+            from ..utils.logging import MetricsLogger  # noqa: PLC0415
+            self.logger = MetricsLogger(cfg.log_dir)
 
     @property
     def is_rank_zero(self) -> bool:
@@ -121,7 +132,37 @@ class DepthTrainer:
         self.params, self.opt_state, loss = self._jit_step(
             self.params, self.opt_state, image, depth_gt, mask)
         self.step_count += 1
-        return float(loss)
+        loss = float(loss)
+        if self.logger and self.step_count % self.cfg.log_every == 0:
+            self.logger.scalar("Train/loss", loss, self.step_count)
+        return loss
+
+    def log_eval(self, metrics: dict, prefix: str = "Metrics") -> None:
+        """Log an eval-metric dict (reference base_trainer.py:197-199)."""
+        if self.logger:
+            self.logger.scalars({f"{prefix}/{k}": float(v)
+                                 for k, v in metrics.items()},
+                                self.step_count)
+
+    def log_depth_images(self, image, depth_gt, pred,
+                         tag: str = "Eval") -> None:
+        """Colorized input/GT/prediction triplet
+        (reference base_trainer.py:289-308 log_images)."""
+        if not self.logger:
+            return
+        from .metrics import colorize  # noqa: PLC0415
+        img = np.asarray(image).squeeze()
+        gt = np.asarray(depth_gt).squeeze()
+        pr = np.asarray(pred).squeeze()
+        self.logger.image(f"{tag}/input",
+                          np.transpose(np.clip(img, 0, 1), (2, 0, 1)),
+                          self.step_count)
+        for name, d in (("gt", gt), ("pred", pr)):
+            rgba = colorize(d, invalid_mask=~np.isfinite(d) | (d <= 0))
+            self.logger.image(
+                f"{tag}/{name}",
+                np.transpose(rgba[..., :3] / 255.0, (2, 0, 1)),
+                self.step_count)
 
     def save_checkpoint(self, name: str = "latest.pkl") -> None:
         """Rank-0-only model checkpoint; optimizer state deliberately

@@ -10,8 +10,11 @@ threshold.
 Parameter groups and storage spaces mirror the reference exactly
 (`scene/gaussian_model.py:50-67,150-178`):
   xyz           (C, 3)    world positions
-  features_dc   (C, 1, 3) SH DC coefficients
-  features_rest (C, K-1, 3) higher SH bands (K = (max_deg+1)²)
+  features_dc   (C, 3)    SH DC coefficients (one RGB triple)
+  features_rest (C, 3(K-1)) higher SH bands, FLAT channel-minor layout
+                (column 3(k-1)+c = coeff k, channel c; K = (max_deg+1)².
+                (C, K, 3) would tile its last two dims on TPU and pad the
+                3-lane minor to 128 — ~40x slower elementwise ops)
   scaling       (C, 3)    log-space
   rotation      (C, 4)    unnormalised quaternion (w, x, y, z)
   opacity       (C, 1)    inverse-sigmoid space
@@ -90,19 +93,24 @@ class GaussianState:
             self.get_scaling() * scaling_modifier, self.params.rotation)
 
     def get_features(self) -> jnp.ndarray:
-        """(C, K, 3) SH coefficients with inactive bands zeroed.
+        """(C, 3K) FLAT SH coefficients (column 3k+c = coeff k, channel c)
+        with inactive bands zeroed.
 
         Masking higher bands reproduces `active_sh_degree` semantics
-        (gaussian_model.py:146-148) without shape changes.
+        (gaussian_model.py:146-148) without shape changes. The flat
+        channel-minor layout is deliberate: (C, K, 3) arrays tile their
+        last two dims on TPU, padding the 3-lane minor to 128 — every
+        elementwise op on that shape (Adam moments, gradients, masking)
+        costs ~40x its flat equivalent.
         """
         feats = jnp.concatenate(
             [self.params.features_dc, self.params.features_rest], axis=1)
-        k = feats.shape[1]
+        k = feats.shape[1] // 3
         degs = np.concatenate(
-            [np.full(2 * d + 1, d) for d in range(int(np.sqrt(k)))])
+            [np.full((2 * d + 1) * 3, d) for d in range(int(np.sqrt(k)))])
         band = jnp.asarray(degs, dtype=jnp.int32)
         mask = (band <= self.active_sh_degree).astype(feats.dtype)
-        return feats * mask[None, :, None]
+        return feats * mask[None, :]
 
     def get_exposure(self, exposure_id) -> jnp.ndarray:
         return self.params.exposure[exposure_id]
@@ -141,9 +149,8 @@ def create_from_points(points: np.ndarray, colors: np.ndarray,
         return jnp.pad(x, widths, constant_values=fill)
 
     xyz = pad(pts)
-    features_dc = pad(shlib.rgb_to_sh(
-        jnp.asarray(colors, dtype=jnp.float32))[:, None, :])
-    features_rest = jnp.zeros((capacity, k - 1, 3), dtype=jnp.float32)
+    features_dc = pad(shlib.rgb_to_sh(jnp.asarray(colors, dtype=jnp.float32)))
+    features_rest = jnp.zeros((capacity, (k - 1) * 3), dtype=jnp.float32)
     # Padding rows get unit quats / tiny scales so activations stay finite.
     scaling = jnp.pad(scales, ((0, capacity - n), (0, 0)),
                       constant_values=np.log(1e-6))

@@ -594,12 +594,27 @@ def _expand_attrs_kernel_factory(grid_x: int, grid_y: int,
         shifted = jnp.concatenate(
             [cmp[:, 1:], jnp.zeros((EXP_K, 1), jnp.float32)], axis=1)
         onehot = cmp - shifted                         # (K, W)
-        # Exact one-hot gather of (off_lo, pack, gid, attrs...): HIGHEST
-        # keeps full f32 (single nonzero term per output, no cancellation).
-        sel = jax.lax.dot_general(
-            winf, onehot, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)        # (16, K)
+        # One-hot gather of (off_lo, pack, gid, attrs...), EXACT at half of
+        # HIGHEST's cost: split the window values into three bf16 limbs
+        # (top/mid/low 8 mantissa bits — 24 bits total, the full f32
+        # significand) and contract each against the EXACTLY-representable
+        # one-hot at DEFAULT (1-pass bf16) precision. Each partial product
+        # is exact, f32 accumulation is exact, so hi+mid+lo reconstructs
+        # the selected value bit-for-bit — 3 MXU passes instead of
+        # HIGHEST's 6, and this contraction is the kernel's dominant FLOP
+        # term (~9 ms/step at bench shapes before the split).
+        w_hi = winf.astype(jnp.bfloat16).astype(jnp.float32)
+        w_mid_f = winf - w_hi
+        w_mid = w_mid_f.astype(jnp.bfloat16).astype(jnp.float32)
+        w_lo = w_mid_f - w_mid
+        dims = (((1,), (1,)), ((), ()))
+        sel = (jax.lax.dot_general(
+                   w_hi, onehot, dims, preferred_element_type=jnp.float32)
+               + jax.lax.dot_general(
+                   w_mid, onehot, dims, preferred_element_type=jnp.float32)
+               + jax.lax.dot_general(
+                   w_lo, onehot, dims,
+                   preferred_element_type=jnp.float32))  # (16, K)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, EXP_K), 1)
         pos = c * EXP_K + lane                         # (1, K) int32
         offlo_sel = sel[_CF_OFFLO:_CF_OFFLO + 1]

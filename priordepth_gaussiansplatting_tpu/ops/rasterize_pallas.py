@@ -123,6 +123,10 @@ def _chunk_alpha(chunk, px, py, astart, start, end, i):
 
 
 def _tile_range(start_ref, end_ref, t):
+    """Chunk walk for tile t. Chunk starts are floored to CHUNK alignment:
+    Mosaic requires lane-dim HBM DMA slices to be 128-aligned (an exact
+    tile_start DMA start is rejected at compile time), so each tile pays up
+    to one partially-masked leading chunk."""
     start = start_ref[t]
     end = end_ref[t]
     astart = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
@@ -190,9 +194,13 @@ def _fwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, color_ref, invd_ref,
             w, chunk[binning.ATTR_ID:binning.ATTR_ID + 1, :], contract,
             preferred_element_type=jnp.float32)   # (PIX, 1)
         R = incl[:, -1:]
-        # masked final transmittance: plain masked-log reduction.
-        Tm = Tm * jnp.exp(jnp.sum(jnp.where(live, log_om, 0.0),
-                                  axis=1, keepdims=True))
+        # Masked final transmittance: `incl` is non-increasing along the
+        # pair axis, so `live` is a PREFIX and the transmittance at the
+        # last live pair is simply the smallest live `incl` — a masked min
+        # instead of a second exp/log round trip (cheaper AND exact).
+        Tm = jnp.minimum(
+            Tm, jnp.min(jnp.where(live, incl, jnp.inf),
+                        axis=1, keepdims=True))
         return i + 1, R, Tm, C, D
 
     T0 = jnp.ones((PIX, 1), jnp.float32)

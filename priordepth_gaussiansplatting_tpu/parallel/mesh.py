@@ -49,13 +49,19 @@ def params_spec() -> GaussianParams:
            for k in GaussianParams.__dataclass_fields__})
 
 
-def state_spec() -> GaussianState:
-    import dataclasses
+def state_spec(template: GaussianState | None = None) -> GaussianState:
+    """Spec pytree for GaussianState. Pass the real state as `template` so
+    the spec's STATIC dataclass fields (spatial_lr_scale, max_sh_degree)
+    match — pytree equality includes aux data."""
+    kw = {}
+    if template is not None:
+        kw = dict(spatial_lr_scale=template.spatial_lr_scale,
+                  max_sh_degree=template.max_sh_degree)
     return GaussianState(
         params=params_spec(),
         active=P(GAUSS_AXIS), max_radii2d=P(GAUSS_AXIS),
         xyz_gradient_accum=P(GAUSS_AXIS), denom=P(GAUSS_AXIS),
-        active_sh_degree=P())
+        active_sh_degree=P(), **kw)
 
 
 def adam_spec() -> AdamState:

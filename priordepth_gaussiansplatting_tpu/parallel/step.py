@@ -39,24 +39,29 @@ from . import mesh as mesh_lib
 
 
 def _rasterize_tile_sharded(proj_full, bg, width: int, height: int,
-                            n_shards: int, axis_name: str):
+                            n_shards: int, axis_name: str,
+                            pair_capacity: int | None = None,
+                            valid_capacity: int | None = None):
     """SP-analog path: every rank composites a BAND of the tile grid; bands
     are all-gathered into the image. The band VJP zeroes non-owned pair
     lanes, so the psum the gather VJP inserts over `axis_name` sums exact
-    per-band contributions (SURVEY.md §5.7 north star)."""
+    per-band contributions (SURVEY.md §5.7 north star).
+
+    Runs the FUSED binning (ops/binning.bin_sorted_pairs — one depth sort
+    carrying attributes, exact ellipse-tile culling, one tile sort) exactly
+    like the single-chip path; only the composite sweep is band-sharded.
+    Overflow counters are surfaced so the sharded trainer can adapt the
+    pair capacities the same way the single-chip one does."""
     from ..ops import binning as binning_lib  # noqa: PLC0415
     from ..ops import rasterize_pallas as rp  # noqa: PLC0415
 
     n = proj_full.mean2d.shape[0]
-    pair_capacity = rp.default_pair_capacity(n)
-    binned = binning_lib.bin_gaussians(proj_full, width, height,
-                                       pair_capacity)
-    attrs = binning_lib.pack_attributes(proj_full)
-    sorted_attrs = binning_lib.gather_pairs(attrs, binned)
-    pair_valid = (jnp.arange(pair_capacity) < binned.num_pairs)[None, :]
-    sorted_attrs = jnp.where(pair_valid, sorted_attrs, 0.0)
-    sorted_attrs = jnp.pad(sorted_attrs,
-                           ((0, rp.ROWS - rp.NROW), (0, rp.CHUNK)))
+    if pair_capacity is None:
+        pair_capacity = rp.default_pair_capacity(n)
+    if valid_capacity is None:
+        valid_capacity = pair_capacity
+    sorted_attrs, aux = binning_lib.bin_sorted_pairs(
+        proj_full, width, height, pair_capacity, valid_capacity)
 
     grid_x, grid_y = binning_lib.grid_shape(width, height)
     nt = grid_x * grid_y
@@ -64,9 +69,8 @@ def _rasterize_tile_sharded(proj_full, bg, width: int, height: int,
     pad = band * n_shards - nt
     tile_ids = jnp.pad(jnp.arange(nt, dtype=jnp.int32), (0, pad))
     # padded tiles: empty ranges -> zero output, dropped at assembly.
-    starts = jnp.pad(binned.tile_start, (0, pad),
-                     constant_values=0)
-    ends = jnp.pad(binned.tile_end, (0, pad), constant_values=0)
+    starts = jnp.pad(aux["tile_start"], (0, pad), constant_values=0)
+    ends = jnp.pad(aux["tile_end"], (0, pad), constant_values=0)
     m = jax.lax.axis_index(axis_name)
     my_ids = jax.lax.dynamic_slice(tile_ids, (m * band,), (band,))
     my_start = jax.lax.dynamic_slice(starts, (m * band,), (band,))
@@ -80,12 +84,15 @@ def _rasterize_tile_sharded(proj_full, bg, width: int, height: int,
     t_fin = rp.tiles_to_image(gather(t_b)[:nt], width, height)
     image = color + t_fin * bg[:, None, None]
     return {"render": image, "invdepth": invd, "final_T": t_fin[0],
-            "overflow": binned.overflow}
+            "overflow": aux["overflow_rect"] + aux["overflow_valid"],
+            "num_pairs": aux["num_valid"]}
 
 
 def _render_gathered(camera: Camera, state: GaussianState, bg, screen_offset,
                      pipe_cfg: PipelineConfig, axis_name: str,
-                     tile_shard_n: int = 0):
+                     tile_shard_n: int = 0,
+                     pair_capacity: int | None = None,
+                     valid_capacity: int | None = None):
     """Project the local shard, all-gather screen-space attrs, rasterize.
 
     With `tile_shard_n` > 0 the compositing work is ALSO sharded over the
@@ -113,10 +120,14 @@ def _render_gathered(camera: Camera, state: GaussianState, bg, screen_offset,
     if tile_shard_n > 1 and use_pallas:
         out = _rasterize_tile_sharded(proj_full, bg, camera.width,
                                       camera.height, tile_shard_n,
-                                      axis_name)
+                                      axis_name,
+                                      pair_capacity=pair_capacity,
+                                      valid_capacity=valid_capacity)
     elif use_pallas:
         from ..ops import rasterize_pallas as rp  # noqa: PLC0415
-        out = rp.rasterize(proj_full, bg, camera.width, camera.height)
+        out = rp.rasterize(proj_full, bg, camera.width, camera.height,
+                           pair_capacity=pair_capacity,
+                           valid_capacity=valid_capacity)
     else:
         out = ref_ops.rasterize_reference(proj_full, bg, camera.width,
                                           camera.height)
@@ -126,13 +137,20 @@ def _render_gathered(camera: Camera, state: GaussianState, bg, screen_offset,
 def make_sharded_train_step(opt_cfg: OptimizationConfig,
                             pipe_cfg: PipelineConfig, mesh,
                             use_trained_exp: bool = False,
-                            tile_shard: bool = False):
+                            tile_shard: bool = False,
+                            pair_capacity: int | None = None,
+                            valid_capacity: int | None = None):
     """Returns a jitted step(state, opt_state, cam_batch, step, key, bg).
 
     `cam_batch` is a Camera pytree with a leading batch axis equal to the
     `data` axis size; state/opt are sharded per mesh.state_spec(). With
     `tile_shard`, the gauss axis also shards the tile-compositing work
-    (each rank renders a band of the image).
+    (each rank renders a band of the image). `pair_capacity` /
+    `valid_capacity` pin the rasterizer's static pair lists (the sharded
+    trainer adapts them from the returned num_pairs/overflow metrics,
+    exactly like the single-chip trainer). On any rank's pair overflow the
+    whole optimizer/densify-stat update is skipped — a frame missing pairs
+    produces a wrong gradient; capacity grows for future steps instead.
     """
     sparse = opt_cfg.optimizer_type == "sparse_adam"
     n_gauss = int(mesh.shape[mesh_lib.GAUSS_AXIS])
@@ -148,10 +166,14 @@ def make_sharded_train_step(opt_cfg: OptimizationConfig,
             st = dataclasses.replace(state, params=params)
             out, local_radii = _render_gathered(
                 camera, st, bg, screen_offset, pipe_cfg,
-                mesh_lib.GAUSS_AXIS, tile_shard_n=tile_shard_n)
+                mesh_lib.GAUSS_AXIS, tile_shard_n=tile_shard_n,
+                pair_capacity=pair_capacity,
+                valid_capacity=valid_capacity)
             image = out["render"]
             if use_trained_exp and camera.exposure_id >= 0:
-                exposure = st.get_exposure(camera.exposure_id)
+                eid = (camera.exposure_idx if camera.exposure_idx is not None
+                       else camera.exposure_id)
+                exposure = st.get_exposure(eid)
                 image = jnp.einsum("ij,jhw->ihw", exposure[:3, :3], image) \
                     + exposure[:3, 3][:, None, None]
             image = jnp.clip(image, 0.0, 1.0)
@@ -186,11 +208,23 @@ def make_sharded_train_step(opt_cfg: OptimizationConfig,
             # scale — collectives don't transpose the way you'd hope under
             # shard_map) makes that sum come out to exactly 1x.
             loss = loss / n_gauss
-            return loss, (local_radii, ll1)
+            overflow = out.get("overflow")
+            num_pairs = out.get("num_pairs")
+            if overflow is None:
+                overflow = jnp.int32(0)
+            if num_pairs is None:
+                num_pairs = jnp.int32(0)
+            return loss, (local_radii, ll1,
+                          jax.lax.stop_gradient(overflow),
+                          jax.lax.stop_gradient(num_pairs))
 
-        (loss, (radii, ll1)), (pgrads, sgrads) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True)(
-                state.params, screen_offset)
+        (loss, (radii, ll1, overflow, num_pairs)), (pgrads, sgrads) = \
+            jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(
+                    state.params, screen_offset)
+        # Any data rank overflowing poisons the DP-averaged gradient.
+        overflow = jax.lax.pmax(overflow, mesh_lib.DATA_AXIS)
+        num_pairs = jax.lax.pmax(num_pairs, mesh_lib.DATA_AXIS)
 
         # Replicated (non-per-gaussian) leaves see only their rank's 1/n
         # share after the pmean: sum them over the gauss axis.
@@ -206,33 +240,44 @@ def make_sharded_train_step(opt_cfg: OptimizationConfig,
         visibility = jax.lax.pmax(
             (radii > 0).astype(jnp.int32), mesh_lib.DATA_AXIS) > 0
         lrs = learning_rates(step_i, opt_cfg, state.spatial_lr_scale)
-        new_params, opt_state = optim.adam_update(
+        new_params, new_opt = optim.adam_update(
             state.params, pgrads, opt_state, lrs,
             visibility=visibility, sparse=sparse)
+        # Overflow frames: discard the whole update (wrong gradient) —
+        # capacity adaptation handles future frames.
+        ok = overflow == 0
+        keep = lambda new, old: jax.tree.map(
+            lambda a, b: jnp.where(ok, a, b), new, old)
+        new_params = keep(new_params, state.params)
+        opt_state = keep(new_opt, opt_state)
         state = dataclasses.replace(state, params=new_params)
         max_radii = jax.lax.pmax(radii, mesh_lib.DATA_AXIS)
-        state = densify_ops.add_densification_stats(
+        stats_state = densify_ops.add_densification_stats(
             state, sgrads, max_radii, camera.width, camera.height)
+        state = keep(stats_state, state)
         metrics = {
             # undo the 1/n_gauss grad-normalisation for reporting
             "loss": jax.lax.pmean(loss * n_gauss, mesh_lib.DATA_AXIS),
             "l1": jax.lax.pmean(ll1, mesh_lib.DATA_AXIS),
             "n_active": jax.lax.psum(state.num_active, mesh_lib.GAUSS_AXIS),
+            "num_pairs": num_pairs,
+            "overflow": overflow,
         }
         return state, opt_state, metrics
 
-    st_spec = mesh_lib.state_spec()
     ad_spec = mesh_lib.adam_spec()
     cam_spec_fn = lambda cam_batch: jax.tree.map(
         lambda _: P(mesh_lib.DATA_AXIS), cam_batch)
 
     def step(state, opt_state, cam_batch, step_i, key, bg):
+        st_spec = mesh_lib.state_spec(state)
         sharded = shard_map(
             local_step, mesh=mesh,
             in_specs=(st_spec, ad_spec, cam_spec_fn(cam_batch), P(), P(),
                       P()),
             out_specs=(st_spec, ad_spec,
-                       {"loss": P(), "l1": P(), "n_active": P()}),
+                       {"loss": P(), "l1": P(), "n_active": P(),
+                        "num_pairs": P(), "overflow": P()}),
             check_rep=False)
         return sharded(state, opt_state, cam_batch, step_i, key, bg)
 
@@ -240,11 +285,26 @@ def make_sharded_train_step(opt_cfg: OptimizationConfig,
 
 
 def stack_cameras(cameras) -> Camera:
-    """Stack a list of same-resolution Cameras into a leading batch axis."""
+    """Stack a list of same-resolution Cameras into a leading batch axis.
+
+    Per-camera STATIC aux fields that differ across the batch (exposure id,
+    image name, uid, depth reliability) are unified: the exposure index
+    moves into the traced `exposure_idx` leaf (one compiled program serves
+    every batch), the rest take neutral values — they are only consumed by
+    host-side code that operates on individual cameras."""
+    ids = [c.exposure_id for c in cameras]
+    all_exp = all(i >= 0 for i in ids)
+    cameras = [dataclasses.replace(
+        c,
+        exposure_idx=jnp.asarray(max(i, 0), jnp.int32),
+        exposure_id=(0 if all_exp else -1),
+        image_name="", uid=0, depth_reliable=False)
+        for c, i in zip(cameras, ids)]
     return jax.tree.map(lambda *xs: jnp.stack(xs), *cameras)
 
 
-def pad_camera_batch(cameras) -> Camera:
+def pad_camera_batch(cameras, target_hw: tuple[int, int] | None = None
+                     ) -> Camera:
     """Stack cameras of HETEROGENEOUS resolutions/intrinsics for DP.
 
     Real COLMAP scenes routinely mix per-camera dimensions (the reference
@@ -258,8 +318,11 @@ def pad_camera_batch(cameras) -> Camera:
     (the SSIM convolution is zero-"same"-padded)."""
     import numpy as np  # noqa: PLC0415
 
-    H = max(c.height for c in cameras)
-    W = max(c.width for c in cameras)
+    if target_hw is not None:
+        H, W = target_hw
+    else:
+        H = max(c.height for c in cameras)
+        W = max(c.width for c in cameras)
     # Optional fields must agree structurally across the batch.
     have_depth = all(c.invdepth is not None for c in cameras)
     have_dmask = all(c.depth_mask is not None for c in cameras)

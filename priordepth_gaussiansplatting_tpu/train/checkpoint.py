@@ -52,13 +52,25 @@ def save_checkpoint(path: str, state: GaussianState, opt_state: optim.AdamState,
         pickle.dump(payload, f)
 
 
+def _flat_features(d: dict) -> dict:
+    """Back-compat: reshape legacy (N, K, 3) feature leaves to the flat
+    (N, 3K) model-store layout (see models/gaussians.py)."""
+    out = dict(d)
+    for k in ("features_dc", "features_rest"):
+        v = np.asarray(out[k])
+        if v.ndim == 3:
+            out[k] = v.reshape(v.shape[0], -1)
+    return out
+
+
 def load_checkpoint(path: str):
     with open(path, "rb") as f:
         p = pickle.load(f)
     s = p["state"]
     state = GaussianState(
         params=GaussianParams(**{k: jnp.asarray(v)
-                                 for k, v in s["params"].items()}),
+                                 for k, v in _flat_features(
+                                     s["params"]).items()}),
         active=jnp.asarray(s["active"]),
         max_radii2d=jnp.asarray(s["max_radii2d"]),
         xyz_gradient_accum=jnp.asarray(s["xyz_gradient_accum"]),
@@ -68,8 +80,10 @@ def load_checkpoint(path: str):
         max_sh_degree=p["max_sh_degree"])
     o = p["opt"]
     opt_state = optim.AdamState(
-        mu=GaussianParams(**{k: jnp.asarray(v) for k, v in o["mu"].items()}),
-        nu=GaussianParams(**{k: jnp.asarray(v) for k, v in o["nu"].items()}),
+        mu=GaussianParams(**{k: jnp.asarray(v)
+                             for k, v in _flat_features(o["mu"]).items()}),
+        nu=GaussianParams(**{k: jnp.asarray(v)
+                             for k, v in _flat_features(o["nu"]).items()}),
         count=jnp.asarray(o["count"]))
     return state, opt_state, p["iteration"]
 

@@ -126,12 +126,21 @@ def make_train_step(opt_cfg: OptimizationConfig, pipe_cfg: PipelineConfig,
         radii = aux["radii"]
         visibility = radii > 0
         lrs = learning_rates(step, opt_cfg, state.spatial_lr_scale)
-        new_params, opt_state = optim.adam_update(
+        new_params, new_opt = optim.adam_update(
             state.params, param_grads, opt_state, lrs,
             visibility=visibility, sparse=sparse)
-        state = state.replace(params=new_params)
-        state = densify_ops.add_densification_stats(
+        # Pair overflow means the rendered frame was missing pairs and the
+        # gradient is wrong: skip the whole update (the trainer grows the
+        # capacity for future frames from the overflow metric).
+        ok = aux.get("overflow")
+        ok = jnp.bool_(True) if ok is None else (ok == 0)
+        keep = lambda new, old: jax.tree.map(
+            lambda a, b: jnp.where(ok, a, b), new, old)
+        state = state.replace(params=keep(new_params, state.params))
+        opt_state = keep(new_opt, opt_state)
+        stats_state = densify_ops.add_densification_stats(
             state, screen_grads, radii, camera.width, camera.height)
+        state = keep(stats_state, state)
         metrics = {
             "loss": loss, "l1": aux["l1"], "ssim": aux["ssim"],
             "depth_loss": aux["depth_loss"],
@@ -157,15 +166,33 @@ def make_train_step(opt_cfg: OptimizationConfig, pipe_cfg: PipelineConfig,
                         reset_opacity=densify_ops.reset_opacity)
 
 
-def eval_image(camera: Camera, state: GaussianState, bg: jnp.ndarray,
-               antialiasing: bool = False, use_trained_exp: bool = False,
-               backend: str = "auto"):
-    """No-grad render + PSNR/L1 for validation (`train.py:402-445`)."""
+@partial(jax.jit,
+         static_argnames=("antialiasing", "use_trained_exp", "backend",
+                          "pair_capacity"))
+def _eval_render(camera: Camera, state: GaussianState, bg: jnp.ndarray,
+                 antialiasing: bool, use_trained_exp: bool, backend: str,
+                 pair_capacity: Optional[int]):
     out = render(camera, state, bg, antialiasing=antialiasing,
-                 use_trained_exp=use_trained_exp, backend=backend)
+                 use_trained_exp=use_trained_exp, backend=backend,
+                 pair_capacity=pair_capacity)
     img = out["render"]
     res = {"render": img}
     if camera.image is not None:
         res["psnr"] = losses.psnr(img, camera.image)
         res["l1"] = losses.l1_loss(img, camera.image)
     return res
+
+
+def eval_image(camera: Camera, state: GaussianState, bg: jnp.ndarray,
+               antialiasing: bool = False, use_trained_exp: bool = False,
+               backend: str = "auto", pair_capacity: Optional[int] = None):
+    """No-grad render + PSNR/L1 for validation (`train.py:402-445`).
+
+    Jitted and cached per (resolution, capacity): per-camera aux metadata
+    (name/uid/reliability) is neutralised first so a full test-set sweep
+    compiles ONCE instead of per view — an eager render costs a host↔TPU
+    round trip per op, which made full-set evals crawl."""
+    cam = dataclasses.replace(camera, image_name="", uid=0,
+                              depth_reliable=False)
+    return _eval_render(cam, state, bg, antialiasing, use_trained_exp,
+                        backend, pair_capacity)

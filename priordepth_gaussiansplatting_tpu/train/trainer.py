@@ -32,7 +32,7 @@ from . import step as step_lib
 class Trainer:
     def __init__(self, model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                  pipe_cfg: PipelineConfig, scene, seed: int = 0,
-                 quiet: bool = False):
+                 quiet: bool = False, mesh=None, tile_shard: bool = False):
         self.model_cfg = model_cfg
         self.opt_cfg = opt_cfg
         self.pipe_cfg = pipe_cfg
@@ -40,17 +40,45 @@ class Trainer:
         self.quiet = quiet
         self.rng = random.Random(seed)
         self.key = jax.random.PRNGKey(seed)
+        self.mesh = mesh
+        self.tile_shard = tile_shard
+        if mesh is not None:
+            from ..parallel import mesh as mesh_lib  # noqa: PLC0415
+            self.n_data = int(mesh.shape[mesh_lib.DATA_AXIS])
+            self.n_gauss = int(mesh.shape[mesh_lib.GAUSS_AXIS])
+        else:
+            self.n_data = self.n_gauss = 1
 
         xyz, colors, _ = scene.point_cloud()
+        n_pts = int(np.asarray(xyz).shape[0])
+        capacity = None
+        if self.n_gauss > 1:
+            capacity = int(max(2 ** int(np.ceil(np.log2(max(n_pts * 4, 1024)))),
+                               1024, self.n_gauss))
+            capacity = -(-capacity // self.n_gauss) * self.n_gauss
         self.state = gm.create_from_points(
             np.asarray(xyz), np.asarray(colors),
             num_images=len(scene.train_cameras),
+            capacity=capacity,
             max_sh_degree=model_cfg.sh_degree,
             spatial_lr_scale=scene.cameras_extent)
         self.opt_state = optim.init_adam(self.state.params)
         self.pair_capacity: Optional[int] = None  # None → ops default (4·N)
-        self.fns = step_lib.make_train_step(
-            opt_cfg, pipe_cfg, use_trained_exp=model_cfg.train_test_exp)
+        if mesh is not None:
+            from ..parallel import integrate as par  # noqa: PLC0415
+            self.state, self.opt_state = par.interleave_rows(
+                self.state, self.opt_state, self.n_gauss)
+            self.state, self.opt_state = par.place_sharded(
+                self.state, self.opt_state, mesh)
+            # Mixed-resolution/intrinsics scenes: all cameras padded onto
+            # one static canvas (true dims/fovs moved to traced leaves) so
+            # every DP batch compiles to the same program.
+            keys = {(c.height, c.width, c.fovx, c.fovy)
+                    for c in scene.train_cameras}
+            self._batch_hw = ((max(c.height for c in scene.train_cameras),
+                               max(c.width for c in scene.train_cameras))
+                              if len(keys) > 1 else None)
+        self.fns = self._make_fns()
         self.bg = jnp.asarray(
             [1.0, 1.0, 1.0] if model_cfg.white_background else [0.0, 0.0, 0.0])
         self.iteration = 0
@@ -70,6 +98,18 @@ class Trainer:
             m.get("num_pairs", jnp.int32(0)).astype(jnp.float32),
             m.get("overflow", jnp.int32(0)).astype(jnp.float32)]))
 
+    def _make_fns(self, pair_capacity: Optional[int] = None):
+        if self.mesh is not None:
+            from ..parallel import integrate as par  # noqa: PLC0415
+            return par.make_sharded_fns(
+                self.opt_cfg, self.pipe_cfg, self.mesh,
+                use_trained_exp=self.model_cfg.train_test_exp,
+                tile_shard=self.tile_shard, pair_capacity=pair_capacity)
+        return step_lib.make_train_step(
+            self.opt_cfg, self.pipe_cfg,
+            use_trained_exp=self.model_cfg.train_test_exp,
+            pair_capacity=pair_capacity)
+
     # ------------------------------------------------------------- loop
     def pick_camera(self) -> Camera:
         """Random pop from a reshuffled stack (`train.py:129-135`)."""
@@ -78,8 +118,20 @@ class Trainer:
             self.rng.shuffle(self._camera_stack)
         return self._camera_stack.pop()
 
+    def pick_camera_batch(self) -> Camera:
+        """n_data cameras stacked for the DP step (padded when mixed-res)."""
+        from ..parallel import step as pstep  # noqa: PLC0415
+        cams = [self.pick_camera() for _ in range(self.n_data)]
+        if self._batch_hw is not None:
+            return pstep.pad_camera_batch(cams, target_hw=self._batch_hw)
+        return pstep.stack_cameras(cams)
+
     def restore(self, path: str) -> None:
         self.state, self.opt_state, self.iteration = ckpt.load_checkpoint(path)
+        if self.mesh is not None:
+            from ..parallel import integrate as par  # noqa: PLC0415
+            self.state, self.opt_state = par.place_sharded(
+                self.state, self.opt_state, self.mesh)
         print(f"Restored checkpoint at iteration {self.iteration}")
 
     def train(self, iterations: Optional[int] = None,
@@ -99,7 +151,8 @@ class Trainer:
             if it % 1000 == 0:
                 self.state = self.state.oneup_sh_degree()
 
-            cam = self.pick_camera()
+            cam = (self.pick_camera_batch() if self.mesh is not None
+                   else self.pick_camera())
             self.key, k = jax.random.split(self.key)
             self.state, self.opt_state, metrics = self.fns.step(
                 self.state, self.opt_state, cam, jnp.asarray(it), k, self.bg)
@@ -113,8 +166,13 @@ class Trainer:
                     self.state, self.opt_state, info = self.fns.densify(
                         self.state, self.opt_state, k,
                         use_size_threshold=use_size)
-                    self.state, self.opt_state, grew = ckpt.maybe_grow(
-                        self.state, self.opt_state)
+                    if self.mesh is not None:
+                        from ..parallel import integrate as par  # noqa: PLC0415
+                        self.state, self.opt_state, grew = par.grow_sharded(
+                            self.state, self.opt_state, self.mesh)
+                    else:
+                        self.state, self.opt_state, grew = ckpt.maybe_grow(
+                            self.state, self.opt_state)
                     if grew and not self.quiet:
                         print(f"[it {it}] capacity grown to "
                               f"{self.state.capacity}")
@@ -127,8 +185,10 @@ class Trainer:
             # PriorDepth thesis events (train.py:193-291).
             if opt.noise_injection_iter and it == opt.noise_injection_iter:
                 self.inject_noise()
+                self._replace_sharded()
             if opt.floating_prune_iter and it == opt.floating_prune_iter:
                 self.run_floating_prune()
+                self._replace_sharded()
 
             # Defer materialising device metrics: every host fetch through
             # the TPU tunnel costs a ~30 ms round trip, so per-step (or even
@@ -196,14 +256,18 @@ class Trainer:
             return  # hysteresis: don't flap one rung down on view variance
         if desired != effective:
             self.pair_capacity = desired
-            self.fns = step_lib.make_train_step(
-                self.opt_cfg, self.pipe_cfg,
-                use_trained_exp=self.model_cfg.train_test_exp,
-                pair_capacity=desired)
+            self.fns = self._make_fns(pair_capacity=desired)
             if not self.quiet:
                 print(f"[it {self.iteration}] pair capacity -> {desired} "
                       f"(pairs {num_pairs}, overflow {overflow})",
                       flush=True)
+
+    def _replace_sharded(self) -> None:
+        """Re-apply the mesh shardings after a host-side state rebuild."""
+        if self.mesh is not None:
+            from ..parallel import integrate as par  # noqa: PLC0415
+            self.state, self.opt_state = par.place_sharded(
+                self.state, self.opt_state, self.mesh)
 
     # ------------------------------------------------------------- eval
     def report(self, it: int) -> dict:
@@ -226,12 +290,19 @@ class Trainer:
                 # iteration == testing_iterations[0]).
                 if vi < 5:
                     name = getattr(cam, "image_name", None) or f"view_{vi}"
+                    # Clamp to [0,1]; with train_test_exp only the right
+                    # half is evaluated/logged (reference train.py:422-432).
+                    def _prep(img):
+                        img = jnp.clip(img, 0.0, 1.0)
+                        if self.model_cfg.train_test_exp:
+                            img = img[..., img.shape[-1] // 2:]
+                        return img
                     self.logger.image(
-                        f"{split}_view_{name}/render", r["render"], it)
+                        f"{split}_view_{name}/render", _prep(r["render"]), it)
                     if cam.image is not None and not self._gt_logged:
                         self.logger.image(
                             f"{split}_view_{name}/ground_truth",
-                            cam.image, it)
+                            _prep(cam.image), it)
                 if "psnr" in r:
                     psnrs.append(float(r["psnr"]))
                     l1s.append(float(r["l1"]))

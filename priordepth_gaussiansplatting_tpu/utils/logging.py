@@ -62,7 +62,12 @@ class MetricsLogger:
             try:
                 from PIL import Image  # noqa: PLC0415
                 Image.fromarray(arr).save(fname)
-            except Exception:
+            except Exception as e:
+                if not getattr(self, "_image_warned", False):
+                    self._image_warned = True
+                    print(f"[logging] image save failed for {fname}: {e} "
+                          "(further image-save failures silenced)",
+                          flush=True)
                 return
             if self._fh is not None:
                 self._fh.write(json.dumps(

@@ -46,8 +46,10 @@ def random_gaussians(key, n: int, sh_degree: int = 3, extent: float = 1.0,
     quats = jax.random.normal(ks[2], (n, 4))
     opac = jax.random.uniform(ks[3], (n,), minval=opacity_range[0],
                               maxval=opacity_range[1])
-    sh = 0.3 * jax.random.normal(ks[4], (n, k_bases, 3))
-    sh = sh.at[:, 0, :].set(shlib.rgb_to_sh(
+    # FLAT channel-minor SH layout (column 3k+c), as the model store uses —
+    # (N, K, 3) arrays pad their 3-lane minor dim 42x on TPU.
+    sh = 0.3 * jax.random.normal(ks[4], (n, k_bases * 3))
+    sh = sh.at[:, :3].set(shlib.rgb_to_sh(
         jax.random.uniform(jax.random.fold_in(key, 9), (n, 3),
                            minval=0.05, maxval=0.95)))
     return dict(means=means, scales=scales, quats=quats, opacities=opac, sh=sh)

@@ -87,8 +87,8 @@ def test_gaussian_ply_roundtrip(tmp_path):
     n, k = 13, 16
     data = dict(
         xyz=rng.randn(n, 3).astype(np.float32),
-        features_dc=rng.randn(n, 1, 3).astype(np.float32),
-        features_rest=rng.randn(n, k - 1, 3).astype(np.float32),
+        features_dc=rng.randn(n, 3).astype(np.float32),
+        features_rest=rng.randn(n, (k - 1) * 3).astype(np.float32),
         opacity=rng.randn(n, 1).astype(np.float32),
         scaling=rng.randn(n, 3).astype(np.float32),
         rotation=rng.randn(n, 4).astype(np.float32),

@@ -54,13 +54,13 @@ def test_sh_band_masking_tracks_active_degree():
     st = _mk_state()
     st = st.replace(params=st.params.replace(
         features_rest=jnp.ones_like(st.params.features_rest)))
-    f0 = np.asarray(st.get_features())
-    assert (f0[:, 1:, :] == 0).all()  # degree 0: only DC passes
+    f0 = np.asarray(st.get_features())  # flat (C, 3K) channel-minor
+    assert (f0[:, 3:] == 0).all()  # degree 0: only DC passes
     st1 = st.oneup_sh_degree()
     f1 = np.asarray(st1.get_features())
-    assert (f1[:, 1:4, :] == 1).all() and (f1[:, 4:, :] == 0).all()
+    assert (f1[:, 3:12] == 1).all() and (f1[:, 12:] == 0).all()
     st3 = st1.oneup_sh_degree().oneup_sh_degree()
-    assert (np.asarray(st3.get_features())[:, :, :] != 0).any()
+    assert (np.asarray(st3.get_features()) != 0).any()
     # Saturates at max degree.
     st4 = st3.oneup_sh_degree()
     assert int(st4.active_sh_degree) == 3

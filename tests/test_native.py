@@ -52,8 +52,8 @@ def test_native_ply_byte_identical(tmp_path):
     n, k = 7, 16
     data = dict(
         xyz=rng.randn(n, 3).astype(np.float32),
-        features_dc=rng.randn(n, 1, 3).astype(np.float32),
-        features_rest=rng.randn(n, k - 1, 3).astype(np.float32),
+        features_dc=rng.randn(n, 3).astype(np.float32),
+        features_rest=rng.randn(n, (k - 1) * 3).astype(np.float32),
         opacity=rng.randn(n, 1).astype(np.float32),
         scaling=rng.randn(n, 3).astype(np.float32),
         rotation=rng.randn(n, 4).astype(np.float32),

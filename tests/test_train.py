@@ -21,7 +21,7 @@ def _target_scene(key, cam, n=40):
                            opacity_range=(0.6, 0.95))
     pts = np.asarray(p["means"])
     cols = np.clip(np.asarray(
-        0.28209479177387814 * p["sh"][:, 0, :] + 0.5), 0, 1)
+        0.28209479177387814 * p["sh"][:, :3] + 0.5), 0, 1)
     st = gm.create_from_points(pts, cols, num_images=1, capacity=64)
     scal = np.full((st.capacity, 3), np.log(1e-6), np.float32)
     scal[:n] = np.log(np.asarray(p["scales"]))

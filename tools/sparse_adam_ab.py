@@ -37,8 +37,8 @@ def main(argv):
     ks = jax.random.split(key, 8)
     params = GaussianParams(
         xyz=jax.random.normal(ks[0], (n, 3)),
-        features_dc=jax.random.normal(ks[1], (n, 1, 3)),
-        features_rest=jax.random.normal(ks[2], (n, 15, 3)),
+        features_dc=jax.random.normal(ks[1], (n, 3)),
+        features_rest=jax.random.normal(ks[2], (n, 45)),
         scaling=jax.random.normal(ks[3], (n, 3)),
         rotation=jax.random.normal(ks[4], (n, 4)),
         opacity=jax.random.normal(ks[5], (n, 1)),

@@ -46,6 +46,13 @@ def main(argv=None):
                              "the rasterizer debug path late in a run)")
     parser.add_argument("--profile", action="store_true",
                         help="write a jax.profiler trace to <model>/trace")
+    parser.add_argument("--n_data", type=int, default=1,
+                        help="camera data-parallel mesh axis size")
+    parser.add_argument("--n_gauss", type=int, default=1,
+                        help="Gaussian-shard mesh axis size (TP analog)")
+    parser.add_argument("--tile_shard", action="store_true",
+                        help="also shard tile compositing over the gauss "
+                             "axis (SP analog, SURVEY.md §5.7)")
     args = parser.parse_args(argv)
 
     import jax
@@ -68,8 +75,16 @@ def main(argv=None):
                   train_test_exp=model_cfg.train_test_exp, seed=args.seed,
                   data_device=("cpu" if model_cfg.data_device == "cpu"
                                else "device"))
+    mesh = None
+    if args.n_data * args.n_gauss > 1:
+        from priordepth_gaussiansplatting_tpu.parallel import mesh as mesh_lib
+        mesh_lib.initialize_multihost()  # no-op single-process
+        mesh = mesh_lib.make_mesh(args.n_data, args.n_gauss)
+        print(f"Multi-chip mesh: data={args.n_data} gauss={args.n_gauss}"
+              f"{' tile_shard' if args.tile_shard else ''} over "
+              f"{len(jax.devices())} devices")
     trainer = Trainer(model_cfg, opt_cfg, pipe_cfg, scene, seed=args.seed,
-                      quiet=args.quiet)
+                      quiet=args.quiet, mesh=mesh, tile_shard=args.tile_shard)
     if args.start_checkpoint:
         trainer.restore(args.start_checkpoint)
 
