@@ -33,6 +33,11 @@ class ViTEncoder(nn.Module):
     num_heads: int = 0  # 0 = auto (embed_dim // 64)
     patch_size: int = 16
     taps: Sequence[int] = (1, 3, 5)
+    # torch checkpoints (MiDaS/DepthAnything ViTs) use the exact erf GELU;
+    # flax's default is the tanh approximation. Imported weights set True
+    # (depth/import_torch.py) so activations match bit-for-bit-ish.
+    exact_gelu: bool = False
+    pos_rows: int = 4096  # positional-table capacity (max patches)
 
     @nn.compact
     def __call__(self, x):
@@ -45,7 +50,7 @@ class ViTEncoder(nn.Module):
         # Resolution-agnostic positional table (sliced per input size) so
         # the same params serve padded/TTA resolutions.
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
-                         (1, 4096, self.embed_dim))
+                         (1, self.pos_rows, self.embed_dim))
         tok = tok + pos[:, :gh * gw]
         heads = self.num_heads or max(self.embed_dim // 64, 1)
         feats = []
@@ -55,7 +60,7 @@ class ViTEncoder(nn.Module):
             tok = tok + y
             y = nn.LayerNorm()(tok)
             y = nn.Dense(4 * self.embed_dim)(y)
-            y = nn.gelu(y)
+            y = nn.gelu(y, approximate=not self.exact_gelu)
             y = nn.Dense(self.embed_dim)(y)
             tok = tok + y
             if i in self.taps:

@@ -49,7 +49,11 @@ from .projection import TILE, ProjectedGaussians
 ALPHA_MAX = 0.99
 ALPHA_MIN = 1.0 / 255.0
 T_EPS = 1e-4
-CHUNK = 256          # pairs per DMA/compute chunk (multiple of 128)
+CHUNK = 128          # pairs per DMA/compute chunk (multiple of 128).
+                     # kernel_ab @1M: 128 ≈ 53.4 ms fwd+bwd, 256 = 55.1,
+                     # 512 = 71.4 — smaller chunks halve the floor-to-CHUNK
+                     # alignment waste (~0.5 chunk/tile) and the scan
+                     # matmul FLOPs, outweighing the extra grid steps.
 PIX = TILE * TILE    # 256 pixels per tile
 NROW = binning.ATTR_ROWS
 ROWS = 16            # attrs rows padded to a sublane-tile multiple
@@ -320,18 +324,51 @@ def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
             # Through alpha = min(0.99, op·G): the clamp kills the gradient.
             g_alpha = jnp.where(raw < ALPHA_MAX, g_alpha, 0.0)
 
-            d_op = jnp.sum(g * g_alpha, axis=0, keepdims=True)       # (1, K)
             d_power = a_eff * g_alpha                                # = op·G·gα
+            # The six pixel-reductions (d_op/d_mx/d_my/d_ca/d_cb/d_cc) are
+            # all Σ_pix d_power·poly(dx, dy): with tile-LOCAL pixel coords
+            # u,v ∈ {0..15} (so the moment matrix rows 1,u,v,u²,uv,v² are
+            # bf16-EXACT integers ≤ 225), they reduce to ONE (6, PIX) x
+            # (PIX, K) MXU contraction of d_power's moments plus cheap
+            # per-pair algebra — replacing ~10 (PIX, K) VPU passes and six
+            # log-step sublane reductions. d_power rides a 2-limb bf16
+            # split (DEFAULT dots) for ~2^-16 relative accuracy.
+            pixc = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+            u = (pixc % TILE).astype(jnp.float32)              # (1, PIX)
+            v = (pixc // TILE).astype(jnp.float32)             # (1, PIX)
+            mom = jnp.concatenate(
+                [jnp.ones((1, PIX), jnp.float32), u, v,
+                 u * u, u * v, v * v], axis=0)                 # (6, PIX)
+            dp_hi = d_power.astype(jnp.bfloat16).astype(jnp.float32)
+            dp_lo = d_power - dp_hi
+            cpix = (((1,), (0,)), ((), ()))
+            S = (jax.lax.dot_general(
+                     mom, dp_hi, cpix, preferred_element_type=jnp.float32)
+                 + jax.lax.dot_general(
+                     mom, dp_lo, cpix,
+                     preferred_element_type=jnp.float32))       # (6, K)
+            s00, s10, s01, s20, s11, s02 = (S[i:i + 1] for i in range(6))
+            # tile-local mean: dx = u - mxl, dy = v - myl.
+            tloc = tid_ref[t]
+            tx0 = ((tloc % grid_x) * TILE).astype(jnp.float32)
+            ty0 = ((tloc // grid_x) * TILE).astype(jnp.float32)
+            mxl = chunk[binning.ATTR_MX:binning.ATTR_MX + 1, :] - tx0
+            myl = chunk[binning.ATTR_MY:binning.ATTR_MY + 1, :] - ty0
+            e10 = s10 - mxl * s00               # Σ d_power·dx
+            e01 = s01 - myl * s00               # Σ d_power·dy
+            e20 = s20 - 2.0 * mxl * s10 + mxl * mxl * s00
+            e11 = s11 - mxl * s01 - myl * s10 + mxl * myl * s00
+            e02 = s02 - 2.0 * myl * s01 + myl * myl * s00
             ca = chunk[binning.ATTR_CA:binning.ATTR_CA + 1, :]
             cb = chunk[binning.ATTR_CB:binning.ATTR_CB + 1, :]
             cc = chunk[binning.ATTR_CC:binning.ATTR_CC + 1, :]
-            ddx = d_power * (-(ca * dx + cb * dy))
-            ddy = d_power * (-(cc * dy + cb * dx))
-            d_mx = -jnp.sum(ddx, axis=0, keepdims=True)
-            d_my = -jnp.sum(ddy, axis=0, keepdims=True)
-            d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True)
-            d_cb = jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True)
-            d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True)
+            op = chunk[binning.ATTR_OP:binning.ATTR_OP + 1, :]
+            d_op = s00 / jnp.maximum(op, 1e-12)  # g·gα = d_power/op
+            d_mx = ca * e10 + cb * e01
+            d_my = cc * e01 + cb * e10
+            d_ca = -0.5 * e20
+            d_cb = -e11
+            d_cc = -0.5 * e02
             contract = (((0,), (0,)), ((), ()))
             d_rgb = jax.lax.dot_general(
                 dC, w, contract, preferred_element_type=jnp.float32)  # (3,K)
@@ -580,16 +617,20 @@ def default_pair_capacity(n: int) -> int:
 
 
 def round_capacity(pairs: int) -> int:
-    """Smallest ladder capacity >= pairs, ladder = {4,5,6,7}·2^(k-2).
+    """Smallest ladder capacity >= pairs, ladder = {8..15}·2^(k-3).
 
-    Quarter-octave steps cap the padding waste at 25% (every pair-sized
-    sort/kernel sweep scales with the capacity) while keeping the number of
-    distinct compiled programs per scene scale bounded (≤4 per octave).
-    Values stay multiples of 4096 (EXP_K and the lane-packing granularity)."""
+    Eighth-octave steps cap the padding waste at 12.5% — every pair-sized
+    sort/kernel sweep scales with the capacity, so at multi-million pair
+    counts one ladder rung is worth several ms/step — while keeping the
+    number of distinct compiled programs per scene scale bounded (≤8 per
+    octave; the trainer's hysteresis stops rung-flapping). Values stay
+    multiples of 4096 (EXP_K and the lane-packing granularity)."""
     pairs = max(int(pairs), 4096)
     k = max(int(np.ceil(np.log2(pairs))), 12)
-    cands = [m * 2 ** (k - 2) for m in (4, 5, 6, 7)] + [2 ** (k + 1)]
-    cands += [m * 2 ** (k - 3) for m in (5, 6, 7) if m * 2 ** (k - 3) >= 4096]
+    cands = [m * 2 ** (k - 3) for m in range(8, 16)
+             if m * 2 ** (k - 3) % 4096 == 0] + [2 ** (k + 1)]
+    cands += [m * 2 ** (k - 4) for m in range(9, 16)
+              if m * 2 ** (k - 4) % 4096 == 0]
     return int(min(c for c in cands if c >= pairs))
 
 

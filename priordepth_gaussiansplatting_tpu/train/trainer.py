@@ -32,7 +32,9 @@ from . import step as step_lib
 class Trainer:
     def __init__(self, model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                  pipe_cfg: PipelineConfig, scene, seed: int = 0,
-                 quiet: bool = False, mesh=None, tile_shard: bool = False):
+                 quiet: bool = False, mesh=None, tile_shard: bool = False,
+                 init_capacity: Optional[int] = None,
+                 pin_pair_capacity: Optional[int] = None):
         self.model_cfg = model_cfg
         self.opt_cfg = opt_cfg
         self.pipe_cfg = pipe_cfg
@@ -51,10 +53,11 @@ class Trainer:
 
         xyz, colors, _ = scene.point_cloud()
         n_pts = int(np.asarray(xyz).shape[0])
-        capacity = None
-        if self.n_gauss > 1:
+        capacity = init_capacity
+        if self.n_gauss > 1 and capacity is None:
             capacity = int(max(2 ** int(np.ceil(np.log2(max(n_pts * 4, 1024)))),
                                1024, self.n_gauss))
+        if capacity is not None and self.n_gauss > 1:
             capacity = -(-capacity // self.n_gauss) * self.n_gauss
         self.state = gm.create_from_points(
             np.asarray(xyz), np.asarray(colors),
@@ -63,7 +66,11 @@ class Trainer:
             max_sh_degree=model_cfg.sh_degree,
             spatial_lr_scale=scene.cameras_extent)
         self.opt_state = optim.init_adam(self.state.params)
-        self.pair_capacity: Optional[int] = None  # None → ops default (4·N)
+        # Pinned pair capacity disables the adaptive ladder: ONE compiled
+        # program for a whole run (long runs trade a little padding for
+        # zero mid-run recompiles through the remote compile service).
+        self._pin_pair_capacity = pin_pair_capacity
+        self.pair_capacity: Optional[int] = pin_pair_capacity
         if mesh is not None:
             from ..parallel import integrate as par  # noqa: PLC0415
             self.state, self.opt_state = par.interleave_rows(
@@ -78,7 +85,7 @@ class Trainer:
             self._batch_hw = ((max(c.height for c in scene.train_cameras),
                                max(c.width for c in scene.train_cameras))
                               if len(keys) > 1 else None)
-        self.fns = self._make_fns()
+        self.fns = self._make_fns(pair_capacity=self.pair_capacity)
         self.bg = jnp.asarray(
             [1.0, 1.0, 1.0] if model_cfg.white_background else [0.0, 0.0, 0.0])
         self.iteration = 0
@@ -247,6 +254,13 @@ class Trainer:
         bounds recompiles. Overflow (dropped pairs this view) forces growth.
         """
         from ..ops import rasterize_pallas as rp  # noqa: PLC0415
+        if self._pin_pair_capacity is not None:
+            if overflow > 0 and not self.quiet:
+                print(f"[it {self.iteration}] WARNING: pair overflow "
+                      f"{overflow} with pinned capacity "
+                      f"{self._pin_pair_capacity} — step skipped; raise "
+                      "--pin_pair_capacity", flush=True)
+            return
         effective = (self.pair_capacity
                      or rp.default_pair_capacity(self.state.capacity))
         desired = rp.round_capacity(int((num_pairs + overflow) * 1.5))

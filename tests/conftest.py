@@ -18,3 +18,21 @@ import jax  # noqa: E402
 # processes deadlock on the tunnel lock).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--slow", action="store_true", default=False,
+        help="also run tests marked slow (>30 s end-to-end runs)")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default selection excludes @pytest.mark.slow so `pytest -q` stays a
+    fast gate; `pytest -q --slow` runs the full suite (still green)."""
+    if config.getoption("--slow"):
+        return
+    import pytest
+    skip = pytest.mark.skip(reason="slow e2e test; rerun with --slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

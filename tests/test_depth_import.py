@@ -1,0 +1,117 @@
+"""torch-checkpoint → flax importer golden test (pattern of
+tests/test_lpips.py): build a tiny timm-style torch ViT, convert its state
+dict, and check the flax ViTEncoder reproduces the torch forward."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+
+from priordepth_gaussiansplatting_tpu.depth import import_torch as it  # noqa: E402
+from priordepth_gaussiansplatting_tpu.depth.model import ViTEncoder  # noqa: E402
+
+
+class TinyTorchViT(tnn.Module):
+    """Minimal timm-style ViT (pre-LN, fused qkv, erf GELU, no cls token)."""
+
+    def __init__(self, e=32, depth=2, heads=2, patch=8, grid=4):
+        super().__init__()
+        self.e, self.heads, self.patch = e, heads, patch
+        self.patch_embed = tnn.Module()
+        self.patch_embed.proj = tnn.Conv2d(3, e, patch, stride=patch)
+        self.pos_embed = tnn.Parameter(
+            torch.randn(1, grid * grid, e) * 0.02)
+        self.blocks = tnn.ModuleList()
+        for _ in range(depth):
+            b = tnn.Module()
+            b.norm1 = tnn.LayerNorm(e)
+            b.attn = tnn.Module()
+            b.attn.qkv = tnn.Linear(e, 3 * e)
+            b.attn.proj = tnn.Linear(e, e)
+            b.norm2 = tnn.LayerNorm(e)
+            b.mlp = tnn.Module()
+            b.mlp.fc1 = tnn.Linear(e, 4 * e)
+            b.mlp.fc2 = tnn.Linear(4 * e, e)
+            self.blocks.append(b)
+
+    def forward(self, x):  # x: (B, 3, H, W)
+        b = x.shape[0]
+        tok = self.patch_embed.proj(x)              # (B, E, gh, gw)
+        gh, gw = tok.shape[2], tok.shape[3]
+        tok = tok.flatten(2).transpose(1, 2)        # (B, N, E)
+        tok = tok + self.pos_embed[:, :gh * gw]
+        hd = self.e // self.heads
+        for blk in self.blocks:
+            y = blk.norm1(tok)
+            qkv = blk.attn.qkv(y).reshape(b, -1, 3, self.heads, hd)
+            q, k, v = qkv.unbind(2)                 # (B, N, H, hd)
+            att = torch.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(hd)
+            att = att.softmax(-1)
+            y = torch.einsum("bhnm,bmhd->bnhd", att, v).reshape(
+                b, -1, self.e)
+            tok = tok + blk.attn.proj(y)
+            y = blk.norm2(tok)
+            y = blk.mlp.fc2(tnn.functional.gelu(blk.mlp.fc1(y)))
+            tok = tok + y
+        return tok
+
+
+def test_torch_vit_roundtrip_matches():
+    torch.manual_seed(0)
+    model = TinyTorchViT().eval()
+    sd = model.state_dict()
+
+    params, geo = it.convert_vit_state_dict(sd, target_grid=(4, 4),
+                                            pos_table_rows=64, num_heads=2)
+    assert (geo["embed_dim"], geo["depth"], geo["patch_size"],
+            geo["mlp_ratio"], geo["num_heads"]) == (32, 2, 8, 4, 2)
+    enc = ViTEncoder(embed_dim=32, depth=2, num_heads=2, patch_size=8,
+                     taps=(), exact_gelu=True, pos_rows=64)
+
+    x = np.random.RandomState(1).rand(1, 32, 32, 3).astype(np.float32)
+    import jax.numpy as jnp
+    feats = enc.apply({"params": params}, jnp.asarray(x))
+    got = np.asarray(feats[-1]).reshape(1, -1, 32)  # final tokens
+
+    with torch.no_grad():
+        want = model(torch.from_numpy(
+            x.transpose(0, 3, 1, 2))).numpy()
+
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=2e-4)
+
+
+def test_pos_embed_resample_identity_and_resize():
+    pos = np.random.RandomState(0).rand(1, 16, 8).astype(np.float32)
+    same = it.resample_pos_embed(pos, (4, 4))
+    np.testing.assert_allclose(same, pos[0], atol=1e-6)
+    up = it.resample_pos_embed(pos, (8, 8))
+    assert up.shape == (64, 8)
+    # with a cls token prepended, it is dropped before resampling
+    pos_cls = np.concatenate([np.zeros((1, 1, 8), np.float32), pos], axis=1)
+    same2 = it.resample_pos_embed(pos_cls, (4, 4))
+    np.testing.assert_allclose(same2, pos[0], atol=1e-6)
+
+
+def test_graft_validates_shapes():
+    import jax
+
+    enc = ViTEncoder(embed_dim=32, depth=2, num_heads=2, patch_size=8)
+    x = np.zeros((1, 32, 32, 3), np.float32)
+    variables = enc.init(jax.random.PRNGKey(0), x)
+    torch.manual_seed(0)
+    sd = TinyTorchViT().state_dict()
+    params, _ = it.convert_vit_state_dict(sd, target_grid=(4, 4),
+                                          pos_table_rows=4096, num_heads=2)
+    tree = {"params": {"ViTEncoder_0": variables["params"]}}
+    out = it.graft_encoder_params(tree, params)
+    leaf = out["params"]["ViTEncoder_0"]["Conv_0"]["kernel"]
+    np.testing.assert_allclose(
+        np.asarray(leaf),
+        np.asarray(sd["patch_embed.proj.weight"]).transpose(2, 3, 1, 0))
+    # geometry mismatch fails loudly
+    bad = {k: v for k, v in params.items()}
+    bad["Conv_0"] = {"kernel": np.zeros((2, 2, 3, 32), np.float32),
+                     "bias": np.zeros((32,), np.float32)}
+    with pytest.raises(ValueError):
+        it.graft_encoder_params(tree, bad)

@@ -135,6 +135,7 @@ def test_scene_loads_aligned_depth_and_trains(tmp_path):
     assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.slow
 def test_depth_model_learns_and_generates_usable_priors(tmp_path):
     """VERDICT r1 item 6: the native depth stack must be able to LEARN and
     then produce priors the splatting loop consumes — DepthTrainer drives

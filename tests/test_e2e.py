@@ -12,6 +12,8 @@ import numpy as np
 import pytest
 from PIL import Image
 
+pytestmark = pytest.mark.slow  # shared 85s "trained" fixture
+
 from priordepth_gaussiansplatting_tpu.data.dataset import Scene
 from priordepth_gaussiansplatting_tpu.ops.render import render
 from priordepth_gaussiansplatting_tpu.train import checkpoint as ckpt

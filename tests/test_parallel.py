@@ -98,6 +98,7 @@ def test_gauss_sharding_matches_unsharded_loss():
     assert losses[0] == pytest.approx(losses[1], rel=1e-5)
 
 
+@pytest.mark.slow
 def test_graft_dryrun():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)

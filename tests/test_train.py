@@ -5,6 +5,7 @@ the minimum end-to-end slice of SURVEY.md §7."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from priordepth_gaussiansplatting_tpu.models import gaussians as gm
 from priordepth_gaussiansplatting_tpu.ops import losses
@@ -34,6 +35,7 @@ def _target_scene(key, cam, n=40):
     return np.asarray(out["render"])
 
 
+@pytest.mark.slow
 def test_overfit_tiny_scene_with_densify():
     key = jax.random.PRNGKey(0)
     W = H = 48

@@ -53,6 +53,13 @@ def main(argv=None):
     parser.add_argument("--tile_shard", action="store_true",
                         help="also shard tile compositing over the gauss "
                              "axis (SP analog, SURVEY.md §5.7)")
+    parser.add_argument("--init_capacity", type=int, default=None,
+                        help="pre-size the Gaussian store (avoids mid-run "
+                             "capacity regrows/recompiles on long runs)")
+    parser.add_argument("--pin_pair_capacity", type=int, default=None,
+                        help="fix the rasterizer pair capacity (disables "
+                             "the adaptive ladder; one compiled program "
+                             "for the whole run)")
     args = parser.parse_args(argv)
 
     import jax
@@ -84,7 +91,9 @@ def main(argv=None):
               f"{' tile_shard' if args.tile_shard else ''} over "
               f"{len(jax.devices())} devices")
     trainer = Trainer(model_cfg, opt_cfg, pipe_cfg, scene, seed=args.seed,
-                      quiet=args.quiet, mesh=mesh, tile_shard=args.tile_shard)
+                      quiet=args.quiet, mesh=mesh, tile_shard=args.tile_shard,
+                      init_capacity=args.init_capacity,
+                      pin_pair_capacity=args.pin_pair_capacity)
     if args.start_checkpoint:
         trainer.restore(args.start_checkpoint)
 
