@@ -269,6 +269,38 @@ ATTR_R, ATTR_G, ATTR_B = 6, 7, 8   # RGB
 ATTR_ID = 9                        # inverse depth
 ATTR_ROWS = 10
 
+# Bit-packed PER-PAIR row layout (the tile-sort payloads and the
+# compositor's chunk stream). conic/opacity/colour/invdepth are bf16-valued
+# by the projection spec (projection.py), so two of them pack losslessly
+# into one f32 lane: the tile sort — the most expensive P-sized stage, cost
+# linear in payload rows — moves 6 rows instead of 10. mean2d stays f32.
+# Packed lanes are only ever MOVED (sort payloads, DMA, lane packing);
+# all arithmetic happens after in-kernel unpacking (a packed bit pattern
+# is not a meaningful f32 and TPU flush-to-zero would corrupt it).
+PAIR_MX, PAIR_MY = 0, 1            # mean2d, full f32
+PAIR_CACB = 2                      # hi: conic a,  lo: conic b
+PAIR_CCOP = 3                      # hi: conic c,  lo: opacity
+PAIR_RG = 4                        # hi: R,        lo: G
+PAIR_BID = 5                       # hi: B,        lo: inverse depth
+PAIR_ROWS = 6
+
+
+def _pack_bf16_pair(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
+    """Pack two bf16-valued f32 arrays into one f32 (hi<<16 | lo bits)."""
+    uh = jax.lax.bitcast_convert_type(hi, jnp.uint32)
+    ul = jax.lax.bitcast_convert_type(lo, jnp.uint32)
+    packed = (uh & jnp.uint32(0xFFFF0000)) | (ul >> 16)
+    return jax.lax.bitcast_convert_type(packed, jnp.float32)
+
+
+def unpack_bf16_rows(packed: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(rows, K) packed f32 -> (hi, lo) f32 arrays of the same shape."""
+    u = jax.lax.bitcast_convert_type(packed, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000),
+                                      jnp.float32)
+    lo = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
+    return hi, lo
+
 
 def pack_attributes(proj: ProjectedGaussians) -> jnp.ndarray:
     """(ATTR_ROWS, N) packed per-Gaussian attributes (see layout above)."""
@@ -555,8 +587,8 @@ def _expand_attrs_kernel_factory(grid_x: int, grid_y: int,
 
     def kernel(s0_ref, tot_ref, compi_hbm, compf_hbm, tile_ref, gid_ref,
                hist_ref, *attr_refs_and_scratch):
-        attr_refs = attr_refs_and_scratch[:ATTR_ROWS]
-        wibuf, wfbuf, wisem, wfsem = attr_refs_and_scratch[ATTR_ROWS:]
+        attr_refs = attr_refs_and_scratch[:PAIR_ROWS]
+        wibuf, wfbuf, wisem, wfsem = attr_refs_and_scratch[PAIR_ROWS:]
         c = pl.program_id(0)
         nb = pl.num_programs(0)
 
@@ -589,22 +621,53 @@ def _expand_attrs_kernel_factory(grid_x: int, grid_y: int,
 
         ksub = jax.lax.broadcasted_iota(jnp.int32, (EXP_K, 1), 0)
         pos_s = c * EXP_K + ksub                       # (K, 1) int32
-        cmp = (pos_s >= offs).astype(jnp.float32)      # (K, W)
-        # one-hot of the OWNING gaussian (last offset <= pos).
-        shifted = jnp.concatenate(
-            [cmp[:, 1:], jnp.zeros((EXP_K, 1), jnp.float32)], axis=1)
-        onehot = cmp - shifted                         # (K, W)
-        # One-hot gather of (off_lo, pack, gid, attrs...), EXACT at half of
-        # HIGHEST's cost: split the window values into three bf16 limbs
-        # (top/mid/low 8 mantissa bits — 24 bits total, the full f32
-        # significand) and contract each against the EXACTLY-representable
-        # one-hot at DEFAULT (1-pass bf16) precision. Each partial product
+        # Two-level rank of each pair against the ascending offsets table.
+        # A flat (K, W) compare matrix costs ~4 VPU passes over K*W
+        # elements; instead rank against the W/128 BLOCK-START offsets
+        # (coarse), gather each pair's 128-wide block with an exact
+        # two-limb integer one-hot matmul, rank within the block (fine),
+        # and build the final one-hot with a single iota compare:
+        #   owning j = 128*jc + rank_f - 1   (ascending offsets make every
+        # block before jc fully <= pos and every block after fully > pos).
+        nb_w = EXP_W // 128
+        winb = offs.reshape(nb_w, 128)                 # free relayout
+        coarse = winb[:, 0:1].reshape(1, nb_w)         # block-start offsets
+        cmp_c = (pos_s >= coarse).astype(jnp.float32)  # (K, W/128)
+        shifted_c = jnp.concatenate(
+            [cmp_c[:, 1:], jnp.zeros((EXP_K, 1), jnp.float32)], axis=1)
+        oc = cmp_c - shifted_c                         # coarse one-hot
+        jc = jnp.sum(cmp_c, axis=1, keepdims=True) - 1.0   # (K, 1) f32
+        # Exact int gather of the block: split offsets into 15-bit limbs
+        # (each < 2^15, f32-exact through a DEFAULT bf16... no — limbs up
+        # to 2^15 exceed bf16; contract at HIGHEST which is exact to f32).
+        wb_hi = (winb >> 15).astype(jnp.float32)       # < 2^15
+        wb_lo = (winb & 0x7FFF).astype(jnp.float32)    # < 2^15
+        dims_b = (((1,), (0,)), ((), ()))
+        fine_hi = jax.lax.dot_general(
+            oc, wb_hi, dims_b, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        fine_lo = jax.lax.dot_general(
+            oc, wb_lo, dims_b, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        fine = fine_hi.astype(jnp.int32) * (1 << 15) \
+            + fine_lo.astype(jnp.int32)                # (K, 128) block offs
+        rank_f = jnp.sum((pos_s >= fine).astype(jnp.float32), axis=1,
+                         keepdims=True)                # (K, 1)
+        j_own = (128.0 * jc + rank_f - 1.0).astype(jnp.int32)  # (K, 1)
+        lane_w = jax.lax.broadcasted_iota(jnp.int32, (EXP_K, EXP_W), 1)
+        onehot = (lane_w == j_own).astype(jnp.float32)  # (K, W)
+        # One-hot gather of (off_lo, pack, gid, attrs...), EXACT below
+        # HIGHEST's cost. Rows 0..7 (ints + f32 mean2d + conic) go through
+        # a three-bf16-limb split (top/mid/low 8 mantissa bits — the full
+        # f32 significand) contracted against the EXACTLY-representable
+        # one-hot at DEFAULT (1-pass bf16) precision: each partial product
         # is exact, f32 accumulation is exact, so hi+mid+lo reconstructs
-        # the selected value bit-for-bit — 3 MXU passes instead of
-        # HIGHEST's 6, and this contraction is the kernel's dominant FLOP
-        # term (~9 ms/step at bench shapes before the split).
-        w_hi = winf.astype(jnp.bfloat16).astype(jnp.float32)
-        w_mid_f = winf - w_hi
+        # the value bit-for-bit. Rows 8..15 are bf16-VALUED by the
+        # projection spec, so a single DEFAULT pass is already exact —
+        # 3x8 + 1x8 = 32 row-passes instead of 3x16 (and HIGHEST's 6x16).
+        w_exact = winf[0:8]                            # offlo/pack/gid/mx/my
+        w_hi = w_exact.astype(jnp.bfloat16).astype(jnp.float32)
+        w_mid_f = w_exact - w_hi
         w_mid = w_mid_f.astype(jnp.bfloat16).astype(jnp.float32)
         w_lo = w_mid_f - w_mid
         dims = (((1,), (1,)), ((), ()))
@@ -614,13 +677,16 @@ def _expand_attrs_kernel_factory(grid_x: int, grid_y: int,
                    w_mid, onehot, dims, preferred_element_type=jnp.float32)
                + jax.lax.dot_general(
                    w_lo, onehot, dims,
-                   preferred_element_type=jnp.float32))  # (16, K)
+                   preferred_element_type=jnp.float32))  # (8, K)
+        sel_b = jax.lax.dot_general(
+            winf[8:16], onehot, dims,
+            preferred_element_type=jnp.float32)          # (8, K) bf16-valued
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, EXP_K), 1)
         pos = c * EXP_K + lane                         # (1, K) int32
         offlo_sel = sel[_CF_OFFLO:_CF_OFFLO + 1]
         pack_sel = sel[_CF_PACK:_CF_PACK + 1]
         gid_sel = sel[_CF_GID:_CF_GID + 1]
-        attrs = sel[_CF_A0:_CF_A0 + ATTR_ROWS]         # (10, K)
+        attrs = jnp.concatenate([sel[_CF_A0:8], sel_b[0:5]], axis=0)  # (10,K)
         # rank = pos - offset, recovered mod 2^17 (rank < rect area < 2^17;
         # full offsets can exceed f32's exact-integer range at stress pair
         # counts, the mod-2^17 residue cannot).
@@ -673,11 +739,23 @@ def _expand_attrs_kernel_factory(grid_x: int, grid_y: int,
         # buffer — the TPU layout of a 1-D array — so the subsequent
         # lax.sort consumes them with NO relayout (extracting 1-D rows
         # from a packed 2-D output costs ~2 ms/row at P=3M in XLA).
+        # bf16-valued attribute pairs are bit-packed two-per-lane
+        # (PAIR_* layout) so the tile sort moves 6 payload rows, not 10.
         kb = EXP_K // 128
         tile_ref[...] = tile_i.reshape(kb, 128)
         gid_ref[...] = gid_sel.astype(jnp.int32).reshape(kb, 128)
-        for i in range(ATTR_ROWS):
-            attr_refs[i][...] = attrs[i:i + 1].reshape(kb, 128)
+        pair_rows = (
+            attrs[ATTR_MX:ATTR_MX + 1],
+            attrs[ATTR_MY:ATTR_MY + 1],
+            _pack_bf16_pair(ca, cb),
+            _pack_bf16_pair(cc, op),
+            _pack_bf16_pair(attrs[ATTR_R:ATTR_R + 1],
+                            attrs[ATTR_G:ATTR_G + 1]),
+            _pack_bf16_pair(attrs[ATTR_B:ATTR_B + 1],
+                            attrs[ATTR_ID:ATTR_ID + 1]),
+        )
+        for i in range(PAIR_ROWS):
+            attr_refs[i][...] = pair_rows[i].reshape(kb, 128)
 
         tile_f = tile_i.astype(jnp.float32)
         tyi = jnp.floor((tile_f + 0.5) * (1.0 / grid_x)).astype(jnp.int32)
@@ -728,13 +806,25 @@ def _bin_sorted_core(spec, attrs10, depth_eff, pack_u, counts_u):
     # ONE stable N-sort by depth (empty-rect Gaussians sink to the tail so
     # the live prefix has strictly ascending offsets — no compaction sort),
     # carrying pack/counts/id and the 10 attribute rows as payloads.
+    # The 8 bf16-valued attribute rows ride the N-sort bit-packed two per
+    # payload lane (10 sort rows instead of 14; sorts only move payloads,
+    # no arithmetic touches the packed patterns) and are unpacked right
+    # after — the window tables need plain values for the MXU gather.
     srt = jax.lax.sort(
         (depth_eff, pack_u, counts_u,
-         jnp.arange(n, dtype=jnp.int32))
-        + tuple(attrs10[i] for i in range(ATTR_ROWS)),
+         jnp.arange(n, dtype=jnp.int32),
+         attrs10[ATTR_MX], attrs10[ATTR_MY],
+         _pack_bf16_pair(attrs10[ATTR_CA], attrs10[ATTR_CB]),
+         _pack_bf16_pair(attrs10[ATTR_CC], attrs10[ATTR_OP]),
+         _pack_bf16_pair(attrs10[ATTR_R], attrs10[ATTR_G]),
+         _pack_bf16_pair(attrs10[ATTR_B], attrs10[ATTR_ID])),
         dimension=0, is_stable=True, num_keys=1)
     pack, counts, gid = srt[1], srt[2], srt[3]
-    attrs_d = srt[4:]
+    ca_d, cb_d = unpack_bf16_rows(srt[6])
+    cc_d, op_d = unpack_bf16_rows(srt[7])
+    r_d, g_d = unpack_bf16_rows(srt[8])
+    b_d, id_d = unpack_bf16_rows(srt[9])
+    attrs_d = (srt[4], srt[5], ca_d, cb_d, cc_d, op_d, r_d, g_d, b_d, id_d)
 
     offsets, total = _exclusive_cumsum_i32(counts)
     n_pad = -(-(n + EXP_W) // _PACK_L) * _PACK_L
@@ -770,7 +860,7 @@ def _bin_sorted_core(spec, attrs10, depth_eff, pack_u, counts_u):
             out_specs=[fspec, fspec,
                        pl.BlockSpec((gyp, gxp), lambda c, *_: (0, 0),
                                     memory_space=pltpu.VMEM)]
-            + [fspec] * ATTR_ROWS,
+            + [fspec] * PAIR_ROWS,
             scratch_shapes=[
                 pltpu.VMEM((2, 8, EXP_W), jnp.int32),
                 pltpu.VMEM((2, _CF_ROWS, EXP_W), jnp.float32),
@@ -780,7 +870,7 @@ def _bin_sorted_core(spec, attrs10, depth_eff, pack_u, counts_u):
         ),
         out_shape=[field(jnp.int32), field(jnp.int32),
                    jax.ShapeDtypeStruct((gyp, gxp), jnp.float32)]
-        + [field(jnp.float32)] * ATTR_ROWS,
+        + [field(jnp.float32)] * PAIR_ROWS,
         interpret=interpret,
     )(s0, tot, compi, compf)
     # (p/128, 128) shares the TPU tiled layout of a flat (p,) array, so
@@ -796,14 +886,21 @@ def _bin_sorted_core(spec, attrs10, depth_eff, pack_u, counts_u):
     tile_start = jnp.minimum(ends - counts_t, v_cap)
     tile_end = jnp.minimum(ends, v_cap)
 
-    # ONE stable tile-key sort carrying gid + the attribute rows; culled
-    # and padding pairs (tile == num_tiles) sink past every real pair.
+    # ONE stable tile-key sort carrying gid + the PACKED attribute rows
+    # (8 rows total instead of 12); culled and padding pairs
+    # (tile == num_tiles) sink past every real pair.
     srt2 = jax.lax.sort(
         (tile_ids, gidp) + tuple(pattr_rows),
         dimension=0, is_stable=True, num_keys=1)
     gid_sorted = jax.lax.slice_in_dim(srt2[1], 0, v_cap)
     v_pad = v_cap + _COMPOSITE_PAD
-    attrs16 = pack_lanes(list(srt2[2:2 + ATTR_ROWS]), _CF_ROWS, v_pad,
+    # The compositor's chunk stream: PAIR_ROWS packed rows padded to a
+    # 16-row table. The table KEEPS 16 sublanes so the composite's
+    # custom-VJP cotangent — written UNPACKED in ATTR_* row order by the
+    # backward kernel — has the same (16, v_pad) shape as this input
+    # (a private layout contract between bin_sorted's and the composite's
+    # custom VJPs; only the first 8 sublanes are streamed forward).
+    attrs16 = pack_lanes(list(srt2[2:2 + PAIR_ROWS]), _CF_ROWS, v_pad,
                          interpret)
 
     aux = dict(

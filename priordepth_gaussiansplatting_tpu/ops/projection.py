@@ -119,6 +119,7 @@ def project_gaussians(
     colors_precomp: jnp.ndarray | None = None,
     map_width=None,
     map_height=None,
+    round_bf16: bool = True,
 ) -> ProjectedGaussians:
     """Full preprocess. Culled/padded Gaussians get radius 0 and opacity 0.
 
@@ -186,9 +187,25 @@ def project_gaussians(
     depth = jnp.where(cull, jnp.inf, t[:, 2])
     invdepth = jnp.where(cull, 0.0, 1.0 / jnp.maximum(t[:, 2], 1e-6))
     del n
+    # Spec: conic/opacity/colour/invdepth are bf16-valued (kept in f32
+    # containers). Both compositing paths (jnp oracle and Pallas) consume
+    # these rounded values, so parity between them is exact, while the
+    # Pallas pair pipeline can bit-pack two attributes per f32 sort payload
+    # lane — the tile-key sort is the single most expensive stage and its
+    # cost is linear in payload rows. Quality impact is below output
+    # quantisation (bf16 rel. step 2^-8 ~ half an 8-bit LSB on colour);
+    # mean2d stays full f32 (a bf16 pixel coordinate at x~1600 would be
+    # ~6 px off). The rounding VJP is a cast round-trip (identity up to
+    # the same rounding of the cotangent). `round_bf16=False` keeps full
+    # f32 attributes (finite-difference gradient checks need a smooth
+    # function; the rounding staircase breaks FD at small epsilons).
+    if round_bf16:
+        bf16r = lambda x: x.astype(jnp.bfloat16).astype(jnp.float32)
+    else:
+        bf16r = lambda x: x
     return ProjectedGaussians(
-        mean2d=mean2d, conic=conic, opacity=op, rgb=rgb,
-        depth=depth, invdepth=invdepth, radius=radius,
+        mean2d=mean2d, conic=bf16r(conic), opacity=bf16r(op), rgb=bf16r(rgb),
+        depth=depth, invdepth=bf16r(invdepth), radius=radius,
     )
 
 

@@ -56,7 +56,12 @@ CHUNK = 128          # pairs per DMA/compute chunk (multiple of 128).
                      # matmul FLOPs, outweighing the extra grid steps.
 PIX = TILE * TILE    # 256 pixels per tile
 NROW = binning.ATTR_ROWS
-ROWS = 16            # attrs rows padded to a sublane-tile multiple
+ROWS = 16            # gradient rows (ATTR_* order) padded to a tile multiple
+IN_ROWS = 8          # bit-packed pair-attr rows streamed in (PAIR_* layout
+                     # padded from 6 to the f32 sublane-tile minimum of 8) —
+                     # the attrs table itself is (16, P) to match the
+                     # unpacked gradient cotangent's shape, but the kernels
+                     # only DMA its first 8 sublanes
 
 
 def _interpret_default() -> bool:
@@ -100,18 +105,28 @@ def _pixel_coords(t, grid_x):
     return px, py
 
 
-def _chunk_alpha(chunk, px, py, astart, start, end, i):
+def _unpack_chunk(chunk):
+    """(IN_ROWS, CHUNK) packed pair rows -> individual (1, K) attr rows.
+
+    Rows follow binning.PAIR_*: f32 mean2d plus four bf16-packed lanes
+    (conic a|b, conic c|opacity, R|G, B|invdepth). Pure bit ops on the VPU.
+    """
+    mx = chunk[binning.PAIR_MX:binning.PAIR_MX + 1, :]
+    my = chunk[binning.PAIR_MY:binning.PAIR_MY + 1, :]
+    hi, lo = binning.unpack_bf16_rows(
+        chunk[binning.PAIR_CACB:binning.PAIR_BID + 1, :])
+    ca, cc, r, b = hi[0:1], hi[1:2], hi[2:3], hi[3:4]
+    cb, op, g_, invd = lo[0:1], lo[1:2], lo[2:3], lo[3:4]
+    rgb3 = jnp.concatenate([r, g_, b], axis=0)      # (3, K)
+    return mx, my, ca, cb, cc, op, rgb3, invd
+
+
+def _chunk_alpha(unpacked, px, py, astart, start, end, i):
     """Alpha matrix + validity for one chunk.
 
-    chunk: (ROWS, CHUNK) VMEM values (attribute rows on sublanes).
-    Returns (PIX, CHUNK) alpha/aux fields.
+    unpacked: the _unpack_chunk tuple. Returns (PIX, CHUNK) fields.
     """
-    mx = chunk[binning.ATTR_MX:binning.ATTR_MX + 1, :]   # (1, K)
-    my = chunk[binning.ATTR_MY:binning.ATTR_MY + 1, :]
-    ca = chunk[binning.ATTR_CA:binning.ATTR_CA + 1, :]
-    cb = chunk[binning.ATTR_CB:binning.ATTR_CB + 1, :]
-    cc = chunk[binning.ATTR_CC:binning.ATTR_CC + 1, :]
-    op = chunk[binning.ATTR_OP:binning.ATTR_OP + 1, :]
+    mx, my, ca, cb, cc, op, _, _ = unpacked
     dx = px - mx  # (PIX, K)
     dy = py - my
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
@@ -148,17 +163,28 @@ def _fwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, color_ref, invd_ref,
     lookahead (body(i) issues i+1's copy before computing i), so at most
     one prefetched DMA is outstanding at exit; the epilogue drains it
     before the next tile reuses the buffers.
+
+    Cross-tile prefetch: with ~2 chunks per tile on real scenes, the
+    pipeline never warms up within a tile — each tile would pay a full
+    HBM DMA latency on its first chunk. The epilogue of tile t therefore
+    issues tile t+1's chunk-0 copy (into slot 0, which t has fully
+    consumed), overlapping that latency with the sequential grid's own
+    output writeback; only tile 0 cold-starts.
     """
     t = pl.program_id(0)
+    nt = pl.num_programs(0)
     astart, start, end, nchunks = _tile_range(start_ref, end_ref, t)
     px, py = _pixel_coords(tid_ref[t], grid_x)
 
-    def dma(i, slot):
+    def dma_at(a, slot):
         return pltpu.make_async_copy(
-            attrs_hbm.at[:, pl.ds(astart + i * CHUNK, CHUNK)],
+            attrs_hbm.at[0:IN_ROWS, pl.ds(a, CHUNK)],
             chunk_ref.at[slot], sem.at[slot])
 
-    @pl.when(nchunks > 0)
+    def dma(i, slot):
+        return dma_at(astart + i * CHUNK, slot)
+
+    @pl.when((t == 0) & (nchunks > 0))
     def _():
         dma(0, 0).start()
 
@@ -176,8 +202,8 @@ def _fwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, color_ref, invd_ref,
             dma(i + 1, nxt).start()
 
         dma(i, slot).wait()
-        chunk = chunk_ref[slot]
-        a_eff, keep, _, _, _, _ = _chunk_alpha(chunk, px, py, astart,
+        unpacked = _unpack_chunk(chunk_ref[slot])
+        a_eff, keep, _, _, _, _ = _chunk_alpha(unpacked, px, py, astart,
                                                start, end, i)
         one_m = 1.0 - a_eff
         # cumprod(one_m) = exp(cumsum(log one_m)); one_m >= 0.01 so the
@@ -192,11 +218,11 @@ def _fwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, color_ref, invd_ref,
         w = jnp.where(live, a_eff * t_ex, 0.0)
         contract = (((1,), (1,)), ((), ()))
         C = C + jax.lax.dot_general(
-            w, chunk[binning.ATTR_R:binning.ATTR_B + 1, :], contract,
-            preferred_element_type=jnp.float32)   # (PIX, 3)
+            w, unpacked[6], contract,
+            preferred_element_type=jnp.float32)   # (PIX, 3) rgb
         D = D + jax.lax.dot_general(
-            w, chunk[binning.ATTR_ID:binning.ATTR_ID + 1, :], contract,
-            preferred_element_type=jnp.float32)   # (PIX, 1)
+            w, unpacked[7], contract,
+            preferred_element_type=jnp.float32)   # (PIX, 1) invdepth
         R = incl[:, -1:]
         # Masked final transmittance: `incl` is non-increasing along the
         # pair axis, so `live` is a PREFIX and the transmittance at the
@@ -222,6 +248,16 @@ def _fwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, color_ref, invd_ref,
     def _():
         dma(i_fin, jax.lax.rem(i_fin, 2)).wait()
 
+    # Cross-tile prefetch: start tile t+1's chunk 0 (slot 0 is quiesced —
+    # every copy into it has been waited above or in the loop body).
+    @pl.when(t + 1 < nt)
+    def _():
+        astart2, _, _, nchunks2 = _tile_range(start_ref, end_ref, t + 1)
+
+        @pl.when(nchunks2 > 0)
+        def _():
+            dma_at(astart2, 0).start()
+
 
 def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
                 dT_ref, ctot_ref, dtot_ref, tfin_ref, dattrs_in_hbm,
@@ -239,8 +275,14 @@ def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
     aligned chunk), handled by the epilogue waits. Early termination is a
     real loop exit: `dattrs` arrives ZERO-INITIALISED (donated by the
     caller via input_output_aliases), so chunks behind full saturation —
-    whose gradients are all zero — are never read, computed, or written."""
+    whose gradients are all zero — are never read, computed, or written.
+
+    Cross-tile prefetch (see _fwd_kernel): the epilogue issues tile t+1's
+    chunk-0 attrs read as soon as possible, and its grad read only AFTER
+    this tile's grad writes have drained — adjacent tiles may share a
+    floored chunk, so the grad read must observe this tile's RMW."""
     t = pl.program_id(0)
+    nt = pl.num_programs(0)
     astart, start, end, nchunks = _tile_range(start_ref, end_ref, t)
     px, py = _pixel_coords(tid_ref[t], grid_x)
 
@@ -253,15 +295,21 @@ def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
                + dD * dtot_ref[0])
     dt_tfin = dT * tfin  # (PIX, 1)
 
-    def rdma(i, slot):
+    def rdma_at(a, slot):
         return pltpu.make_async_copy(
-            attrs_hbm.at[:, pl.ds(astart + i * CHUNK, CHUNK)],
+            attrs_hbm.at[0:IN_ROWS, pl.ds(a, CHUNK)],
             chunk_ref.at[slot], sem.at[slot])
 
-    def gdma(i, slot):
+    def gdma_at(a, slot):
         return pltpu.make_async_copy(
-            dattrs_hbm.at[:, pl.ds(astart + i * CHUNK, CHUNK)],
+            dattrs_hbm.at[:, pl.ds(a, CHUNK)],
             gchunk_ref.at[slot], gsem.at[slot])
+
+    def rdma(i, slot):
+        return rdma_at(astart + i * CHUNK, slot)
+
+    def gdma(i, slot):
+        return gdma_at(astart + i * CHUNK, slot)
 
     def wdma(i, slot):
         return pltpu.make_async_copy(
@@ -269,7 +317,7 @@ def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
             dattrs_hbm.at[:, pl.ds(astart + i * CHUNK, CHUNK)],
             wsem.at[slot])
 
-    @pl.when(nchunks > 0)
+    @pl.when((t == 0) & (nchunks > 0))
     def _():
         rdma(0, 0).start()
         gdma(0, 0).start()
@@ -295,12 +343,12 @@ def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
 
         rdma(i, slot).wait()
         gdma(i, slot).wait()
-        chunk = chunk_ref[slot]
+        unpacked = _unpack_chunk(chunk_ref[slot])
 
         def compute(carry):
             R, r_pref = carry
-            a_eff, keep, g, raw, dx, dy = _chunk_alpha(chunk, px, py, astart,
-                                                       start, end, i)
+            a_eff, keep, g, raw, dx, dy = _chunk_alpha(unpacked, px, py,
+                                                       astart, start, end, i)
             one_m = 1.0 - a_eff
             log_om = jnp.log(one_m)
             t_ex = R * jnp.exp(_cumsum0(log_om))  # before-pair T
@@ -310,10 +358,10 @@ def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
 
             # ρ(pix, k) = Σ_c dC_c·c_k_c + dD·d_k — folds all cotangents.
             rho = jax.lax.dot_general(
-                dC, chunk[binning.ATTR_R:binning.ATTR_B + 1, :],
+                dC, unpacked[6],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) \
-                + dD * chunk[binning.ATTR_ID:binning.ATTR_ID + 1, :]
+                + dD * unpacked[7]
             wrho = w * rho
             cum_wrho = _cumsum1(wrho)                       # inclusive prefix
             suffix = r_total - r_pref - cum_wrho            # Σ_{j>k} w_j ρ_j
@@ -352,17 +400,14 @@ def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
             tloc = tid_ref[t]
             tx0 = ((tloc % grid_x) * TILE).astype(jnp.float32)
             ty0 = ((tloc // grid_x) * TILE).astype(jnp.float32)
-            mxl = chunk[binning.ATTR_MX:binning.ATTR_MX + 1, :] - tx0
-            myl = chunk[binning.ATTR_MY:binning.ATTR_MY + 1, :] - ty0
+            mxl = unpacked[0] - tx0
+            myl = unpacked[1] - ty0
             e10 = s10 - mxl * s00               # Σ d_power·dx
             e01 = s01 - myl * s00               # Σ d_power·dy
             e20 = s20 - 2.0 * mxl * s10 + mxl * mxl * s00
             e11 = s11 - mxl * s01 - myl * s10 + mxl * myl * s00
             e02 = s02 - 2.0 * myl * s01 + myl * myl * s00
-            ca = chunk[binning.ATTR_CA:binning.ATTR_CA + 1, :]
-            cb = chunk[binning.ATTR_CB:binning.ATTR_CB + 1, :]
-            cc = chunk[binning.ATTR_CC:binning.ATTR_CC + 1, :]
-            op = chunk[binning.ATTR_OP:binning.ATTR_OP + 1, :]
+            _, _, ca, cb, cc, op, _, _ = unpacked
             d_op = s00 / jnp.maximum(op, 1e-12)  # g·gα = d_power/op
             d_mx = ca * e10 + cb * e01
             d_my = cc * e01 + cb * e10
@@ -413,6 +458,18 @@ def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
         rdma(i_fin, jax.lax.rem(i_fin, 2)).wait()
         gdma(i_fin, jax.lax.rem(i_fin, 2)).wait()
 
+    # Cross-tile prefetch of tile t+1's chunk 0. Both slot-0 buffers are
+    # quiesced here, and the grad writes above have drained, so the grad
+    # read observes this tile's RMW even on a shared floored chunk.
+    @pl.when(t + 1 < nt)
+    def _():
+        astart2, _, _, nchunks2 = _tile_range(start_ref, end_ref, t + 1)
+
+        @pl.when(nchunks2 > 0)
+        def _():
+            rdma_at(astart2, 0).start()
+            gdma_at(astart2, 0).start()
+
 
 def _tiles_to_image(tiles: jnp.ndarray, grid_x: int, grid_y: int,
                     width: int, height: int) -> jnp.ndarray:
@@ -461,7 +518,7 @@ def _make_composite(width: int, height: int, p_pad: int, interpret: bool,
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, ROWS, CHUNK), jnp.float32),
+                pltpu.VMEM((2, IN_ROWS, CHUNK), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
@@ -496,8 +553,8 @@ def _make_composite(width: int, height: int, p_pad: int, interpret: bool,
             ],
             out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # dattrs
             scratch_shapes=[
-                pltpu.VMEM((2, ROWS, CHUNK), jnp.float32),
-                pltpu.VMEM((2, ROWS, CHUNK), jnp.float32),
+                pltpu.VMEM((2, IN_ROWS, CHUNK), jnp.float32),   # attrs in
+                pltpu.VMEM((2, ROWS, CHUNK), jnp.float32),      # grads RMW
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),

@@ -16,7 +16,7 @@ import numpy as np
 from PIL import Image
 
 from priordepth_gaussiansplatting_tpu.data.dataset import Scene
-from priordepth_gaussiansplatting_tpu.ops.render import render
+from priordepth_gaussiansplatting_tpu.train import step as step_lib
 from priordepth_gaussiansplatting_tpu.train.checkpoint import \
     load_model_snapshot
 from priordepth_gaussiansplatting_tpu.utils.config import (
@@ -36,8 +36,12 @@ def render_set(model_path, name, iteration, cameras, state, bg, pipe,
     os.makedirs(rdir, exist_ok=True)
     os.makedirs(gdir, exist_ok=True)
     for idx, cam in enumerate(cameras):
-        out = render(cam, state, bg, antialiasing=pipe.antialiasing,
-                     use_trained_exp=train_test_exp, backend=pipe.backend)
+        # Jitted + cached per (resolution, capacity): batch rendering a
+        # full camera set compiles once instead of paying an eager
+        # host<->device round trip per op (reference render.py:30-46).
+        out = step_lib.eval_image(
+            cam, state, bg, antialiasing=pipe.antialiasing,
+            use_trained_exp=train_test_exp, backend=pipe.backend)
         img = out["render"]
         gt = cam.image
         if train_test_exp:  # left half was used for exposure training

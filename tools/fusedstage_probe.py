@@ -75,11 +75,16 @@ def main(argv):
                       binning.pack_attributes(pr)), proj)
 
     def depth_sort(a10, de, pu, cu):
+        B = binning
         return jax.lax.sort(
-            (de, pu, cu, jnp.arange(n, dtype=jnp.int32))
-            + tuple(a10[i] for i in range(binning.ATTR_ROWS)),
+            (de, pu, cu, jnp.arange(n, dtype=jnp.int32),
+             a10[B.ATTR_MX], a10[B.ATTR_MY],
+             B._pack_bf16_pair(a10[B.ATTR_CA], a10[B.ATTR_CB]),
+             B._pack_bf16_pair(a10[B.ATTR_CC], a10[B.ATTR_OP]),
+             B._pack_bf16_pair(a10[B.ATTR_R], a10[B.ATTR_G]),
+             B._pack_bf16_pair(a10[B.ATTR_B], a10[B.ATTR_ID])),
             dimension=0, is_stable=True, num_keys=1)
-    srt, _ = bench("  depth sort (N x14)", depth_sort,
+    srt, _ = bench("  depth sort (N x10 packed)", depth_sort,
                    attrs10, depth_eff, pack_u, counts_u)
 
     counts_s = srt[2]
@@ -98,7 +103,11 @@ def main(argv):
             + [ad[i] for i in range(binning.ATTR_ROWS)],
             binning._CF_ROWS, n_pad, False)
         return compi, compf
-    attrs_d = jnp.stack(srt[4:])
+    up = binning.unpack_bf16_rows
+    attrs_d = jnp.stack(
+        [srt[4], srt[5]]
+        + [row for pair in (up(srt[6]), up(srt[7]), up(srt[8]), up(srt[9]))
+           for row in pair])
     (compi, compf), _ = bench("  pack window tables (N x14)", build_tables,
                               offsets, srt[1], srt[3], attrs_d)
 
@@ -133,7 +142,7 @@ def main(argv):
                 out_specs=[fspec, fspec,
                            pl.BlockSpec((gyp, gxp), lambda c, *_: (0, 0),
                                         memory_space=pltpu.MemorySpace.VMEM)]
-                + [fspec] * binning.ATTR_ROWS,
+                + [fspec] * binning.PAIR_ROWS,
                 scratch_shapes=[
                     pltpu.VMEM((2, 8, binning.EXP_W), jnp.int32),
                     pltpu.VMEM((2, binning._CF_ROWS, binning.EXP_W),
@@ -144,11 +153,11 @@ def main(argv):
             ),
             out_shape=[field(jnp.int32), field(jnp.int32),
                        _jax.ShapeDtypeStruct((gyp, gxp), jnp.float32)]
-            + [field(jnp.float32)] * binning.ATTR_ROWS,
+            + [field(jnp.float32)] * binning.PAIR_ROWS,
             interpret=False,
         )(s0, tot, ci, cf)
 
-    outs, _ = bench("  expansion kernel (P x12 out)", run_expand, compi,
+    outs, _ = bench("  expansion kernel (P x8 out)", run_expand, compi,
                     compf)
     tile_ids = outs[0].reshape(-1)
     gidp = outs[1].reshape(-1)
@@ -157,14 +166,14 @@ def main(argv):
     def tile_sort(t, g, rows):
         return jax.lax.sort((t, g) + tuple(rows), dimension=0,
                             is_stable=True, num_keys=1)
-    srt2, _ = bench("  tile sort (P x12)", tile_sort, tile_ids, gidp,
+    srt2, _ = bench("  tile sort (P x8)", tile_sort, tile_ids, gidp,
                     pattr_rows)
 
     v_pad = v_cap + binning._COMPOSITE_PAD
-    bench("  pack attrs16 (v_cap x10)",
+    bench("  pack attrs16 (v_cap x6)",
           lambda rows: binning.pack_lanes(list(rows), binning._CF_ROWS,
                                           v_pad, False),
-          srt2[2:2 + binning.ATTR_ROWS])
+          srt2[2:2 + binning.PAIR_ROWS])
 
     # --- whole fused binning, fwd ------------------------------------------
     binned, _ = bench("bin_sorted_pairs fwd (total)",
