@@ -293,6 +293,12 @@ def _pack_bf16_pair(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(packed, jnp.float32)
 
 
+def _round_pack_bf16_pair(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """RTNE-round two arbitrary f32 arrays to bf16 and bit-pack them."""
+    rnd = lambda x: x.astype(jnp.bfloat16).astype(jnp.float32)
+    return _pack_bf16_pair(rnd(a), rnd(b))
+
+
 def unpack_bf16_rows(packed: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(rows, K) packed f32 -> (hi, lo) f32 arrays of the same shape."""
     u = jax.lax.bitcast_convert_type(packed, jnp.uint32)
@@ -621,41 +627,15 @@ def _expand_attrs_kernel_factory(grid_x: int, grid_y: int,
 
         ksub = jax.lax.broadcasted_iota(jnp.int32, (EXP_K, 1), 0)
         pos_s = c * EXP_K + ksub                       # (K, 1) int32
-        # Two-level rank of each pair against the ascending offsets table.
-        # A flat (K, W) compare matrix costs ~4 VPU passes over K*W
-        # elements; instead rank against the W/128 BLOCK-START offsets
-        # (coarse), gather each pair's 128-wide block with an exact
-        # two-limb integer one-hot matmul, rank within the block (fine),
-        # and build the final one-hot with a single iota compare:
-        #   owning j = 128*jc + rank_f - 1   (ascending offsets make every
-        # block before jc fully <= pos and every block after fully > pos).
-        nb_w = EXP_W // 128
-        winb = offs.reshape(nb_w, 128)                 # free relayout
-        coarse = winb[:, 0:1].reshape(1, nb_w)         # block-start offsets
-        cmp_c = (pos_s >= coarse).astype(jnp.float32)  # (K, W/128)
-        shifted_c = jnp.concatenate(
-            [cmp_c[:, 1:], jnp.zeros((EXP_K, 1), jnp.float32)], axis=1)
-        oc = cmp_c - shifted_c                         # coarse one-hot
-        jc = jnp.sum(cmp_c, axis=1, keepdims=True) - 1.0   # (K, 1) f32
-        # Exact int gather of the block: split offsets into 15-bit limbs
-        # (each < 2^15, f32-exact through a DEFAULT bf16... no — limbs up
-        # to 2^15 exceed bf16; contract at HIGHEST which is exact to f32).
-        wb_hi = (winb >> 15).astype(jnp.float32)       # < 2^15
-        wb_lo = (winb & 0x7FFF).astype(jnp.float32)    # < 2^15
-        dims_b = (((1,), (0,)), ((), ()))
-        fine_hi = jax.lax.dot_general(
-            oc, wb_hi, dims_b, precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
-        fine_lo = jax.lax.dot_general(
-            oc, wb_lo, dims_b, precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
-        fine = fine_hi.astype(jnp.int32) * (1 << 15) \
-            + fine_lo.astype(jnp.int32)                # (K, 128) block offs
-        rank_f = jnp.sum((pos_s >= fine).astype(jnp.float32), axis=1,
-                         keepdims=True)                # (K, 1)
-        j_own = (128.0 * jc + rank_f - 1.0).astype(jnp.int32)  # (K, 1)
-        lane_w = jax.lax.broadcasted_iota(jnp.int32, (EXP_K, EXP_W), 1)
-        onehot = (lane_w == j_own).astype(jnp.float32)  # (K, W)
+        cmp = (pos_s >= offs).astype(jnp.float32)      # (K, W)
+        # one-hot of the OWNING gaussian (last offset <= pos). (A two-level
+        # block/fine ranking was measured SLOWER here — 15.7 ms vs 11.2 at
+        # bench shapes: the small HIGHEST-precision block-gather matmuls
+        # and the cross-lane reductions cost more than the flat compare's
+        # extra VPU passes. Measured dead end; see docs/PERF.md.)
+        shifted = jnp.concatenate(
+            [cmp[:, 1:], jnp.zeros((EXP_K, 1), jnp.float32)], axis=1)
+        onehot = cmp - shifted                         # (K, W)
         # One-hot gather of (off_lo, pack, gid, attrs...), EXACT below
         # HIGHEST's cost. Rows 0..7 (ints + f32 mean2d + conic) go through
         # a three-bf16-limb split (top/mid/low 8 mantissa bits — the full
@@ -665,9 +645,8 @@ def _expand_attrs_kernel_factory(grid_x: int, grid_y: int,
         # the value bit-for-bit. Rows 8..15 are bf16-VALUED by the
         # projection spec, so a single DEFAULT pass is already exact —
         # 3x8 + 1x8 = 32 row-passes instead of 3x16 (and HIGHEST's 6x16).
-        w_exact = winf[0:8]                            # offlo/pack/gid/mx/my
-        w_hi = w_exact.astype(jnp.bfloat16).astype(jnp.float32)
-        w_mid_f = w_exact - w_hi
+        w_hi = winf.astype(jnp.bfloat16).astype(jnp.float32)
+        w_mid_f = winf - w_hi
         w_mid = w_mid_f.astype(jnp.bfloat16).astype(jnp.float32)
         w_lo = w_mid_f - w_mid
         dims = (((1,), (1,)), ((), ()))
@@ -677,16 +656,13 @@ def _expand_attrs_kernel_factory(grid_x: int, grid_y: int,
                    w_mid, onehot, dims, preferred_element_type=jnp.float32)
                + jax.lax.dot_general(
                    w_lo, onehot, dims,
-                   preferred_element_type=jnp.float32))  # (8, K)
-        sel_b = jax.lax.dot_general(
-            winf[8:16], onehot, dims,
-            preferred_element_type=jnp.float32)          # (8, K) bf16-valued
+                   preferred_element_type=jnp.float32))  # (16, K)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, EXP_K), 1)
         pos = c * EXP_K + lane                         # (1, K) int32
         offlo_sel = sel[_CF_OFFLO:_CF_OFFLO + 1]
         pack_sel = sel[_CF_PACK:_CF_PACK + 1]
         gid_sel = sel[_CF_GID:_CF_GID + 1]
-        attrs = jnp.concatenate([sel[_CF_A0:8], sel_b[0:5]], axis=0)  # (10,K)
+        attrs = sel[_CF_A0:_CF_A0 + ATTR_ROWS]         # (10, K)
         # rank = pos - offset, recovered mod 2^17 (rank < rect area < 2^17;
         # full offsets can exceed f32's exact-integer range at stress pair
         # counts, the mod-2^17 residue cannot).
@@ -793,7 +769,7 @@ def _rect_geometry(proj: ProjectedGaussians, width: int, height: int,
 def _bin_sorted_core(spec, attrs10, depth_eff, pack_u, counts_u):
     """Index plumbing + attribute routing: original-order per-Gaussian
     attrs -> tile-sorted per-pair attrs. See module comment above."""
-    width, height, p, v_cap, interpret = spec
+    width, height, p, v_cap, interpret = spec[:5]
     n = depth_eff.shape[0]
     assert p % EXP_K == 0, "pair_capacity must be a multiple of EXP_K"
     assert v_cap <= p
@@ -948,10 +924,33 @@ def _bin_sorted_bwd(spec, res, cts):
                       constant_values=n)
     pair_pos = jnp.arange(v_pad, dtype=jnp.int32)
     key = jnp.where(pair_pos < num_valid, gid_pad, n)
-    sorted_back = jax.lax.sort(
-        (key,) + tuple(d_rows),
-        dimension=0, is_stable=False, num_keys=1)
-    d_pairs = pack_lanes(list(sorted_back[1:]), 16, v_pad, interpret)
+    exact = spec[5] if len(spec) > 5 else False
+    if exact:
+        # Exact f32 routing: 11 sort rows. Used by parity tests and
+        # debugging (rasterize(..., exact_grads=True)).
+        sorted_back = jax.lax.sort(
+            (key,) + tuple(d_rows),
+            dimension=0, is_stable=False, num_keys=1)
+        d_pairs = pack_lanes(list(sorted_back[1:]), 16, v_pad, interpret)
+    else:
+        # DEFAULT: per-pair cotangents ride the id sort bf16-packed
+        # two-per-lane (6 sort rows instead of 11; the sort is the dominant
+        # backward-plumbing cost and scales linearly in rows). Each pair's
+        # contribution is RTNE-rounded to ~2^-9 relative before the
+        # per-Gaussian sum — bounded by 2^-8 * sum|cotangents| per output
+        # (tests/test_pallas_vs_oracle.py asserts this bound), far below
+        # minibatch gradient noise; the f32 segment reduction is unchanged.
+        sorted_back = jax.lax.sort(
+            (key,
+             _round_pack_bf16_pair(d_rows[0], d_rows[1]),
+             _round_pack_bf16_pair(d_rows[2], d_rows[3]),
+             _round_pack_bf16_pair(d_rows[4], d_rows[5]),
+             _round_pack_bf16_pair(d_rows[6], d_rows[7]),
+             _round_pack_bf16_pair(d_rows[8], d_rows[9])),
+            dimension=0, is_stable=False, num_keys=1)
+        unp = [unpack_bf16_rows(r) for r in sorted_back[1:]]
+        d_pairs = pack_lanes([row for pair in unp for row in pair], 16,
+                             v_pad, interpret)
     d_attrs = segment_reduce(d_pairs, sorted_back[0], num_valid, n,
                              interpret=interpret)[:rows]
     f0 = jax.dtypes.float0
@@ -964,7 +963,8 @@ _bin_sorted_pairs_vjp.defvjp(_bin_sorted_fwd, _bin_sorted_bwd)
 
 def bin_sorted_pairs(proj: ProjectedGaussians, width: int, height: int,
                      pair_capacity: int, valid_capacity: int | None = None,
-                     interpret: bool | None = None, tight: bool = True):
+                     interpret: bool | None = None, tight: bool = True,
+                     exact_grads: bool = False):
     """Bin + depth/tile sort + per-pair attribute routing in one pass.
 
     Returns (attrs16, aux): attrs16 is the (16, valid_capacity + 256)
@@ -981,7 +981,7 @@ def bin_sorted_pairs(proj: ProjectedGaussians, width: int, height: int,
     depth_eff = jnp.where(counts_u > 0, proj.depth, jnp.inf)
     attrs10 = pack_attributes(proj)
     spec = (width, height, int(pair_capacity), int(valid_capacity),
-            bool(interpret))
+            bool(interpret), bool(exact_grads))
     return _bin_sorted_pairs_vjp(spec, attrs10, depth_eff, pack_u, counts_u)
 
 

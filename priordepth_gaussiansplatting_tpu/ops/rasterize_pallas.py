@@ -623,7 +623,8 @@ def rasterize(proj: ProjectedGaussians, bg: jnp.ndarray,
               width: int, height: int,
               pair_capacity: int | None = None,
               valid_capacity: int | None = None,
-              interpret: bool | None = None):
+              interpret: bool | None = None,
+              exact_grads: bool = False):
     """Full Pallas path: fused bin/sort/attribute-routing → composite. Same
     contract as ops/reference.rasterize_reference (render includes the
     background).
@@ -641,7 +642,8 @@ def rasterize(proj: ProjectedGaussians, bg: jnp.ndarray,
         interpret = _interpret_default()
     assert binning._COMPOSITE_PAD >= CHUNK
     sorted_attrs, aux = binning.bin_sorted_pairs(
-        proj, width, height, pair_capacity, valid_capacity, interpret)
+        proj, width, height, pair_capacity, valid_capacity, interpret,
+        exact_grads=exact_grads)
 
     composite = _make_composite(width, height, sorted_attrs.shape[1],
                                 interpret)

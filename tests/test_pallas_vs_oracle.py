@@ -101,23 +101,39 @@ def test_gradients_match_oracle():
     target = jax.random.uniform(jax.random.PRNGKey(3), (3, H, W))
     bg = jnp.array([0.3, 0.3, 0.3])
 
-    def loss(p, backend):
+    def loss(p, backend, exact=False):
         proj = _project(p, cam)
         if backend == "oracle":
             out = ref_ops.rasterize_reference(proj, bg, W, H)
         else:
-            out = rp.rasterize(proj, bg, W, H, interpret=True)
+            out = rp.rasterize(proj, bg, W, H, interpret=True,
+                               exact_grads=exact)
         # Touch both render and invdepth so both cotangent paths flow.
         return (jnp.mean((out["render"] - target) ** 2)
                 + 0.1 * jnp.mean(jnp.abs(out["invdepth"])))
 
     g_ref = jax.grad(lambda p: loss(p, "oracle"))(params)
+    # exact_grads=True routes per-pair cotangents at full f32: strict
+    # parity with the oracle.
+    g_exact = jax.grad(lambda p: loss(p, "pallas", True))(params)
+    for name in params:
+        a, b = np.asarray(g_ref[name]), np.asarray(g_exact[name])
+        scale = max(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(b, a, atol=3e-4 * scale, rtol=2e-3,
+                                   err_msg=f"exact grad mismatch: {name}")
+    # DEFAULT fast routing: per-pair cotangents are bf16-rounded (RTNE,
+    # 2^-9 relative) before the per-Gaussian f32 sum
+    # (ops/binning._bin_sorted_bwd). Per-element error is bounded by
+    # ~2^-9 * sum|pair cotangents|, which sign cancellation can leave at
+    # a few percent of the row's max — an order below minibatch gradient
+    # noise. Strict parity lives in the exact_grads check above;
+    # end-to-end training parity in docs/PROOF_r03.md.
     g_pal = jax.grad(lambda p: loss(p, "pallas"))(params)
     for name in params:
         a, b = np.asarray(g_ref[name]), np.asarray(g_pal[name])
         scale = max(np.abs(a).max(), 1e-8)
-        np.testing.assert_allclose(b, a, atol=3e-4 * scale, rtol=2e-3,
-                                   err_msg=f"grad mismatch for {name}")
+        np.testing.assert_allclose(b, a, atol=2e-2 * scale, rtol=3e-2,
+                                   err_msg=f"fast grad mismatch: {name}")
 
 
 def test_screen_offset_grads_flow_through_pallas():
@@ -134,7 +150,8 @@ def test_screen_offset_grads_flow_through_pallas():
                             opacity=proj.opacity, rgb=proj.rgb,
                             depth=proj.depth, invdepth=proj.invdepth,
                             radius=proj.radius)
-        out = rp.rasterize(p2, bg, W, H, interpret=True)
+        out = rp.rasterize(p2, bg, W, H, interpret=True,
+                           exact_grads=True)
         return jnp.sum(out["render"] ** 2)
 
     def loss_ref(m2d):
@@ -260,7 +277,8 @@ def test_early_exit_multichunk_matches_oracle_with_grads():
             out = ref_ops.rasterize_reference(proj, jnp.zeros(3), W, H)
         else:
             out = rp.rasterize(proj, jnp.zeros(3), W, H,
-                               pair_capacity=4096, interpret=True)
+                               pair_capacity=4096, interpret=True,
+                               exact_grads=True)
         return (jnp.sum(out["render"] ** 2) + jnp.sum(out["invdepth"])
                 + jnp.sum(out["final_T"]))
 
