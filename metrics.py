@@ -49,6 +49,12 @@ def evaluate(model_paths):
             renders, gts, names = read_images(
                 os.path.join(mdir, "renders"), os.path.join(mdir, "gt"))
             use_lpips = have_lpips()
+            if not use_lpips:
+                print("  WARNING: LPIPS omitted — no VGG16 weights found. "
+                      "Export them once with scripts/export_lpips_weights.py"
+                      " and set PDGS_LPIPS_WEIGHTS to the file; results.json"
+                      " will not contain an LPIPS key until then.",
+                      flush=True)
             ssims, psnrs, lpipss = [], [], []
             for r, g in zip(renders, gts):
                 rj, gj = jnp.asarray(r), jnp.asarray(g)

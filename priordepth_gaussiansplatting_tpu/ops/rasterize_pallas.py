@@ -188,18 +188,23 @@ def _fwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, color_ref, invd_ref,
     def _():
         dma(0, 0).start()
 
+        @pl.when(nchunks > 1)
+        def _():
+            dma(1, 1).start()
+
     def cond(carry):
         i, R, *_ = carry
         return (i < nchunks) & jnp.any(R >= T_EPS)
 
     def body(carry):
         i, R, Tm, C, D = carry  # (PIX,1), (PIX,1), (PIX,3), (PIX,1)
-        slot = jax.lax.rem(i, 2)
-        nxt = jax.lax.rem(i + 1, 2)
+        slot = jax.lax.rem(i, 3)
 
-        @pl.when(i + 1 < nchunks)
+        @pl.when(i + 2 < nchunks)
         def _():
-            dma(i + 1, nxt).start()
+            # Two-deep lookahead over a 3-slot rotation: chunk i+2's copy
+            # reuses chunk i-1's buffer (already consumed).
+            dma(i + 2, jax.lax.rem(i + 2, 3)).start()
 
         dma(i, slot).wait()
         unpacked = _unpack_chunk(chunk_ref[slot])
@@ -243,13 +248,17 @@ def _fwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, color_ref, invd_ref,
     invd_ref[0] = D
     t_ref[0] = Tm
 
-    # Drain the lookahead copy issued for the chunk after the exit point.
+    # Drain the lookahead copies issued past the exit point.
     @pl.when(i_fin < nchunks)
     def _():
-        dma(i_fin, jax.lax.rem(i_fin, 2)).wait()
+        dma(i_fin, jax.lax.rem(i_fin, 3)).wait()
 
-    # Cross-tile prefetch: start tile t+1's chunk 0 (slot 0 is quiesced —
-    # every copy into it has been waited above or in the loop body).
+    @pl.when(i_fin + 1 < nchunks)
+    def _():
+        dma(i_fin + 1, jax.lax.rem(i_fin + 1, 3)).wait()
+
+    # Cross-tile prefetch: start tile t+1's first two chunks (slots 0/1
+    # are quiesced — every copy into them has been waited by now).
     @pl.when(t + 1 < nt)
     def _():
         astart2, _, _, nchunks2 = _tile_range(start_ref, end_ref, t + 1)
@@ -257,6 +266,10 @@ def _fwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, color_ref, invd_ref,
         @pl.when(nchunks2 > 0)
         def _():
             dma_at(astart2, 0).start()
+
+        @pl.when(nchunks2 > 1)
+        def _():
+            dma_at(astart2 + CHUNK, 1).start()
 
 
 def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
@@ -317,10 +330,24 @@ def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
             dattrs_hbm.at[:, pl.ds(astart + i * CHUNK, CHUNK)],
             wsem.at[slot])
 
+    # Only chunk 0 can straddle a neighbouring tile's pair range (chunk
+    # starts are floored to CHUNK); interior chunks are wholly owned and
+    # sit on zero-initialised storage, so they are WRITTEN directly with
+    # non-owned lanes zeroed — no grad read at all. Chunk 0 needs the RMW
+    # read only when the floor actually moved its start (astart < start).
+    need_rmw = astart < start
+
     @pl.when((t == 0) & (nchunks > 0))
     def _():
         rdma(0, 0).start()
-        gdma(0, 0).start()
+
+        @pl.when(nchunks > 1)
+        def _():
+            rdma(1, 1).start()
+
+        @pl.when(need_rmw)
+        def _():
+            gdma(0, 0).start()
 
     def cond(carry):
         i, R, _ = carry
@@ -328,22 +355,26 @@ def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
 
     def body(carry):
         i, R, r_pref = carry  # R: (PIX,1) unmasked kept-product
+        rslot = jax.lax.rem(i, 3)
         slot = jax.lax.rem(i, 2)
-        nxt = jax.lax.rem(i + 1, 2)
 
-        @pl.when((i + 1 < nchunks) & (i >= 1))
+        @pl.when(i >= 2)
         def _():
-            # Slot `nxt` was written out at step i-1; reclaim it first.
-            wdma(i - 1, nxt).wait()
+            # Grad slot `slot` was written out at step i-2; reclaim it
+            # before overwriting the buffer below.
+            wdma(i - 2, slot).wait()
 
-        @pl.when(i + 1 < nchunks)
+        @pl.when(i + 2 < nchunks)
         def _():
-            rdma(i + 1, nxt).start()
-            gdma(i + 1, nxt).start()
+            # Two-deep attrs lookahead over a 3-slot rotation.
+            rdma(i + 2, jax.lax.rem(i + 2, 3)).start()
 
-        rdma(i, slot).wait()
-        gdma(i, slot).wait()
-        unpacked = _unpack_chunk(chunk_ref[slot])
+        rdma(i, rslot).wait()
+
+        @pl.when((i == 0) & need_rmw)
+        def _():
+            gdma(0, 0).wait()
+        unpacked = _unpack_chunk(chunk_ref[rslot])
 
         def compute(carry):
             R, r_pref = carry
@@ -431,7 +462,14 @@ def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
         pos = astart + i * CHUNK + lane
         owned = (pos >= start) & (pos < end)
-        gchunk_ref[slot] = jnp.where(owned, new_g, gchunk_ref[slot])
+        # Chunk 0 with RMW merges over the read; all other chunks zero the
+        # non-owned lanes (a later tile that owns them RMW-merges over our
+        # zeros, and never-owned padding lanes are masked out of the
+        # reduction by the num_valid key clamp).
+        keep_prev = (i == 0) & need_rmw
+        gchunk_ref[slot] = jnp.where(
+            owned, new_g,
+            jnp.where(keep_prev, gchunk_ref[slot], 0.0))
         wdma(i, slot).start()
         return i + 1, R, r_pref
 
@@ -440,11 +478,9 @@ def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
     i_fin, _, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), T0, R0))
 
     # Drain outstanding writes before the next tile (which may share an
-    # aligned chunk with this one) issues its first grad read. body(i)
-    # waits wdma(i-1) only while more chunks follow, so at a normal exit
-    # (i_fin == nchunks) the last TWO writes are in flight; at an early
-    # exit only wdma(i_fin-1) is.
-    @pl.when((i_fin == nchunks) & (nchunks >= 2))
+    # aligned chunk with this one) issues its first grad read: body(i)
+    # reclaims wdma(i-2), so at exit the last TWO writes are in flight.
+    @pl.when(i_fin >= 2)
     def _():
         wdma(i_fin - 2, jax.lax.rem(i_fin - 2, 2)).wait()
 
@@ -452,23 +488,33 @@ def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
     def _():
         wdma(i_fin - 1, jax.lax.rem(i_fin - 1, 2)).wait()
 
-    # Drain the lookahead reads issued for the chunk after an early exit.
+    # Drain the lookahead reads issued past an early exit.
     @pl.when(i_fin < nchunks)
     def _():
-        rdma(i_fin, jax.lax.rem(i_fin, 2)).wait()
-        gdma(i_fin, jax.lax.rem(i_fin, 2)).wait()
+        rdma(i_fin, jax.lax.rem(i_fin, 3)).wait()
 
-    # Cross-tile prefetch of tile t+1's chunk 0. Both slot-0 buffers are
+    @pl.when(i_fin + 1 < nchunks)
+    def _():
+        rdma(i_fin + 1, jax.lax.rem(i_fin + 1, 3)).wait()
+
+    # Cross-tile prefetch of tile t+1's first chunks. The slot buffers are
     # quiesced here, and the grad writes above have drained, so the grad
     # read observes this tile's RMW even on a shared floored chunk.
     @pl.when(t + 1 < nt)
     def _():
-        astart2, _, _, nchunks2 = _tile_range(start_ref, end_ref, t + 1)
+        astart2, start2, _, nchunks2 = _tile_range(start_ref, end_ref, t + 1)
 
         @pl.when(nchunks2 > 0)
         def _():
             rdma_at(astart2, 0).start()
-            gdma_at(astart2, 0).start()
+
+            @pl.when(astart2 < start2)
+            def _():
+                gdma_at(astart2, 0).start()
+
+        @pl.when(nchunks2 > 1)
+        def _():
+            rdma_at(astart2 + CHUNK, 1).start()
 
 
 def _tiles_to_image(tiles: jnp.ndarray, grid_x: int, grid_y: int,
@@ -518,8 +564,8 @@ def _make_composite(width: int, height: int, p_pad: int, interpret: bool,
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, IN_ROWS, CHUNK), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((3, IN_ROWS, CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA((3,)),
             ],
         ),
         out_shape=[
@@ -553,9 +599,9 @@ def _make_composite(width: int, height: int, p_pad: int, interpret: bool,
             ],
             out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # dattrs
             scratch_shapes=[
-                pltpu.VMEM((2, IN_ROWS, CHUNK), jnp.float32),   # attrs in
+                pltpu.VMEM((3, IN_ROWS, CHUNK), jnp.float32),   # attrs in
                 pltpu.VMEM((2, ROWS, CHUNK), jnp.float32),      # grads RMW
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((3,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],

@@ -27,7 +27,16 @@ def gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
 
 
 def _blur(x: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise separable same-padded Gaussian blur. x: (C, H, W)."""
+    """Depthwise separable same-padded Gaussian blur. x: (C, H, W).
+
+    HIGHEST precision is REQUIRED, not optional: on TPU the MXU truncates
+    conv operands to bf16 at DEFAULT precision, which puts ~2^-8-relative
+    error on blur(x^2) — and sigma^2 = blur(x^2) - mu^2 then goes negative
+    by up to ~5e-3, crossing the C2=9e-4 stabiliser so the SSIM
+    denominator flips sign and the map blows up to +/-inf on real frames
+    (the torch reference computes these convs in f32). HIGHEST restores
+    f32: the residual cancellation error ~1e-8 is far inside C2.
+    """
     c = x.shape[0]
     w = window.shape[0]
     x = x[None]  # (1, C, H, W)
@@ -38,10 +47,10 @@ def _blur(x: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     pad = w // 2
     x = jax.lax.conv_general_dilated(
         x, kh, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn,
-        feature_group_count=c)
+        feature_group_count=c, precision=jax.lax.Precision.HIGHEST)
     x = jax.lax.conv_general_dilated(
         x, kw, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn,
-        feature_group_count=c)
+        feature_group_count=c, precision=jax.lax.Precision.HIGHEST)
     return x[0]
 
 

@@ -131,9 +131,12 @@ def make_train_step(opt_cfg: OptimizationConfig, pipe_cfg: PipelineConfig,
             visibility=visibility, sparse=sparse)
         # Pair overflow means the rendered frame was missing pairs and the
         # gradient is wrong: skip the whole update (the trainer grows the
-        # capacity for future frames from the overflow metric).
+        # capacity for future frames from the overflow metric). A
+        # non-finite loss (degenerate frame) is equally untrustworthy —
+        # skipping it keeps one bad frame from NaN-poisoning the params.
         ok = aux.get("overflow")
         ok = jnp.bool_(True) if ok is None else (ok == 0)
+        ok = ok & jnp.isfinite(loss)
         keep = lambda new, old: jax.tree.map(
             lambda a, b: jnp.where(ok, a, b), new, old)
         state = state.replace(params=keep(new_params, state.params))

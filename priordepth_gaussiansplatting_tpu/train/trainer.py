@@ -210,7 +210,21 @@ class Trainer:
                     loss, l1, n_active, num_pairs, overflow = (
                         float(row[0]), float(row[1]), int(row[2]),
                         int(row[3]), int(row[4]))
-                    self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
+                    if np.isfinite(loss):
+                        self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
+                    else:
+                        # A non-finite frame loss (e.g. SSIM blowup on a
+                        # degenerate early frame) must not poison the EMA
+                        # forever; the optimizer step guards itself (the
+                        # update is skipped on overflow or non-finite
+                        # loss, keeping old params).
+                        self.nonfinite_losses = getattr(
+                            self, "nonfinite_losses", 0) + 1
+                        if self.nonfinite_losses <= 3 and not self.quiet:
+                            print(f"[it {jt}] WARNING: non-finite loss "
+                                  f"{loss}; excluded from EMA "
+                                  f"({self.nonfinite_losses} so far)",
+                                  flush=True)
                     if jt % 100 == 0:
                         self._adapt_pair_capacity(num_pairs, overflow)
                     if jt % 10 == 0:
