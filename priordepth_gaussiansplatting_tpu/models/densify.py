@@ -14,10 +14,11 @@ Semantics notes vs the reference:
   * split draws N=2 samples from the Gaussian itself (rotated scale-stds),
     child scale = scale/(0.8·2); one child reuses the parent's slot.
   * prune: opacity < min_opacity ∪ (when max_screen_size>0)
-    max_radii2D > max_screen_size ∪ max_scale > 0.1·extent. The reference
-    evaluates the radii test after `densification_postfix` has zeroed
-    max_radii2D (an upstream quirk that makes it a no-op); we evaluate it on
-    the accumulated pre-reset radii, i.e. the documented intent.
+    max_scale > 0.1·extent. The reference's screen-radius term
+    (max_radii2D > max_screen_size) is dead code upstream —
+    densification_postfix zeroes max_radii2D immediately before the test
+    (gaussian_model.py:422/494) — and implementing the "documented intent"
+    instead collapses training (see inline note), so the no-op is matched.
   * when free capacity runs out, lowest-index requests win and the rest are
     dropped (the host trainer regrows capacity and re-jits when occupancy
     crosses a threshold — models/gaussians.grow_capacity).
@@ -103,7 +104,16 @@ def densify_and_prune(
     opacity = state.get_opacity()
     prune_mask = (opacity < min_opacity) & active
     if max_screen_size and max_screen_size > 0:
-        prune_mask |= active & (state.max_radii2d > max_screen_size)
+        # NOTE the reference's screen-size prune (big_points_vs) is DEAD
+        # CODE: densification_postfix re-creates max_radii2D as zeros
+        # (gaussian_model.py:422) right before the `max_radii2D >
+        # max_screen_size` test (gaussian_model.py:494), so it never fires.
+        # Matching that behavior matters: pruning on the ACCUMULATED radii
+        # (the documented intent) death-spirals real scenes — the first
+        # post-reset prune culls most of the model (large sky/background
+        # splats), survivors grow to cover the loss, get pruned in turn,
+        # and the model collapses (observed: 191k -> 3.3k gaussians on the
+        # 1024^2 proof scene). Only the world-size prune is live.
         prune_mask |= active & (max_scale > 0.1 * extent)
     clone_mask &= ~prune_mask
     split_mask &= ~prune_mask

@@ -121,17 +121,23 @@ def test_densify_prune_low_opacity_and_big():
     opt = optim.init_adam(st.params)
     op = np.array(st.params.opacity)
     op[:3] = -10.0  # sigmoid ~ 0 < 0.005
-    # Keep scales tiny so the 0.1·extent world-size prune doesn't fire.
+    sc = np.full((32, 3), np.log(0.01), np.float32)
+    # Row 6: world size above 0.1*extent -> pruned by the (live)
+    # world-size term. Row 5's big SCREEN radius must NOT prune: the
+    # reference's big_points_vs test is dead code (max_radii2D is zeroed
+    # by densification_postfix right before the test — see
+    # models/densify.py), and we match that behavior.
+    sc[6] = np.log(0.2 * st.spatial_lr_scale)
     st = st.replace(params=st.params.replace(
         opacity=jnp.asarray(op),
-        scaling=jnp.full((32, 3), np.log(0.01), np.float32)),
+        scaling=jnp.asarray(sc)),
         max_radii2d=jnp.zeros(32).at[5].set(50.0))
     st2, _, info = densify_ops.densify_and_prune(
         st, opt, jax.random.PRNGKey(0), max_grad=2e-4, min_opacity=0.005,
         extent=st.spatial_lr_scale, max_screen_size=20.0)
-    assert int(info["n_pruned"]) == 4  # rows 0,1,2 (opacity) + row 5 (radius)
+    assert int(info["n_pruned"]) == 4  # rows 0,1,2 (opacity) + row 6 (world)
     active = np.asarray(st2.active)
-    assert not active[0] and not active[5] and active[4]
+    assert not active[0] and not active[6] and active[5] and active[4]
 
 
 def test_densify_capacity_overflow_drops_requests():
