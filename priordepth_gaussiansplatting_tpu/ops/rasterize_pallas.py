@@ -722,20 +722,23 @@ def default_pair_capacity(n: int) -> int:
 
 
 def round_capacity(pairs: int) -> int:
-    """Smallest ladder capacity >= pairs, ladder = {8..15}·2^(k-3).
+    """Smallest ladder capacity >= pairs, sixteenth-octave rungs.
 
-    Eighth-octave steps cap the padding waste at 12.5% — every pair-sized
-    sort/kernel sweep scales with the capacity, so at multi-million pair
-    counts one ladder rung is worth several ms/step — while keeping the
-    number of distinct compiled programs per scene scale bounded (≤8 per
-    octave; the trainer's hysteresis stops rung-flapping). Values stay
-    multiples of 4096 (EXP_K and the lane-packing granularity)."""
+    Every pair-sized sort/kernel sweep scales with the capacity, so at
+    multi-million pair counts one ladder rung is worth several ms/step;
+    sixteenth-octave steps cap the padding waste at ~6.7% while keeping
+    the number of distinct compiled programs per scene scale bounded
+    (≤16 per octave; the trainer's hysteresis stops rung-flapping).
+    Values stay multiples of 4096 (EXP_K and the lane-packing
+    granularity) — at small sizes the grid coarsens accordingly."""
     pairs = max(int(pairs), 4096)
     k = max(int(np.ceil(np.log2(pairs))), 12)
     cands = [m * 2 ** (k - 3) for m in range(8, 16)
              if m * 2 ** (k - 3) % 4096 == 0] + [2 ** (k + 1)]
     cands += [m * 2 ** (k - 4) for m in range(9, 16)
               if m * 2 ** (k - 4) % 4096 == 0]
+    cands += [m * 2 ** (k - 5) for m in range(17, 32)
+              if m * 2 ** (k - 5) % 4096 == 0]
     return int(min(c for c in cands if c >= pairs))
 
 

@@ -293,3 +293,21 @@ def test_early_exit_multichunk_matches_oracle_with_grads():
         scale = np.abs(ref).max() + 1e-8
         np.testing.assert_allclose(pal / scale, ref / scale, atol=2e-4,
                                    err_msg=f"grad mismatch for {name}")
+
+
+def test_capacity_ladder_properties():
+    """round_capacity: covering, monotone, 4096-granular, tight padding."""
+    import random
+    rc = rp.round_capacity
+    rng = random.Random(0)
+    prev = 0
+    for pairs in sorted(rng.randint(4096, 50_000_000) for _ in range(200)):
+        c = rc(pairs)
+        assert c >= pairs
+        assert c % 4096 == 0
+        assert c >= prev  # monotone in the request
+        prev = c
+        if pairs >= 1 << 17:
+            # sixteenth-octave rungs: at most ~6.7% padding above 128k
+            assert c / pairs <= 1.0 + 1.0 / 15.0 + 1e-9, (pairs, c)
+    assert rc(4096) == 4096
