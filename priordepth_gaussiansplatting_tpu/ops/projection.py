@@ -60,7 +60,12 @@ def compute_cov2d(mean3d, cov3d, viewmatrix, focal_x, focal_y,
       (N, 2, 2) un-dilated 2D covariance, (N, 3) camera-space position.
     """
     W = viewmatrix[:3, :3]
-    t = mean3d @ W.T + viewmatrix[:3, 3]
+    # HIGHEST precision on every geometry matmul: the MXU truncates f32
+    # operands to bf16 at DEFAULT, which costs ~2^-8 RELATIVE error on
+    # world positions — several PIXELS of mean2d error at x~1600, and
+    # run-to-run depth-order flips between differently-fused graphs.
+    hi = jax.lax.Precision.HIGHEST
+    t = jnp.matmul(mean3d, W.T, precision=hi) + viewmatrix[:3, 3]
     tz = t[:, 2]
     # Clamp the x/y extent used for the Jacobian to the (widened) frustum.
     limx = 1.3 * tan_fovx
@@ -75,8 +80,8 @@ def compute_cov2d(mean3d, cov3d, viewmatrix, focal_x, focal_y,
                     -focal_x * txz * inv_z2], axis=-1)
     j1 = jnp.stack([jnp.zeros_like(tz), focal_y * inv_z,
                     -focal_y * tyz * inv_z2], axis=-1)
-    t0 = j0 @ W  # (N, 3) — W is a constant 3x3: a real MXU-friendly matmul
-    t1 = j1 @ W
+    t0 = jnp.matmul(j0, W, precision=hi)  # (N, 3) x constant 3x3
+    t1 = jnp.matmul(j1, W, precision=hi)
     # cov2d_ab = t_a · Σ · t_b expanded over the 6 unique Σ entries.
     s00 = cov3d[:, 0, 0]
     s01 = cov3d[:, 0, 1]
@@ -138,9 +143,13 @@ def project_gaussians(
     focal_x = mw / (2.0 * tan_fovx)
     focal_y = mh / (2.0 * tan_fovy)
 
-    # Homogeneous projection -> NDC -> pixels.
-    hom = means3d @ full_proj[:3, :3].T + full_proj[:3, 3]
-    w = means3d @ full_proj[3, :3] + full_proj[3, 3]
+    # Homogeneous projection -> NDC -> pixels. HIGHEST: bf16-truncated
+    # position matmuls put ~2^-8-relative error on pixel coordinates
+    # (several px at 1600 wide) — see compute_cov2d note.
+    hi = jax.lax.Precision.HIGHEST
+    hom = (jnp.matmul(means3d, full_proj[:3, :3].T, precision=hi)
+           + full_proj[:3, 3])
+    w = jnp.matmul(means3d, full_proj[3, :3], precision=hi) + full_proj[3, 3]
     inv_w = 1.0 / (w + 1e-7)
     ndc = hom * inv_w[:, None]
     mean2d = jnp.stack(

@@ -81,18 +81,35 @@ def _tri(k: int, strict: bool = False) -> jnp.ndarray:
     return ((r < c) if strict else (r <= c)).astype(jnp.float32)
 
 
+def _dot2(x, y, dims):
+    """dot_general with a 2-limb bf16 split of `x` — exact to ~2^-17 where
+    the MXU's DEFAULT precision would truncate f32 operands to bf16
+    (~2^-8). `y` must be exactly representable in bf16 (0/1 triangular
+    masks, bf16-valued attribute rows): then each partial product is
+    exact and only the f32 accumulation rounds. Two DEFAULT passes cost a
+    third of HIGHEST's six.
+
+    This is REQUIRED on-chip, not a nicety: with DEFAULT dots the
+    transmittance scans and colour accumulations drift ~0.4% and the
+    render diverges from the oracle by ~1e-2 (found by
+    tools/tpu_parity_check.py; interpret-mode tests run f32 and pass).
+    """
+    x_hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    x_lo = x - x_hi
+    return (jax.lax.dot_general(
+                x_hi, y, dims, preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(
+                x_lo, y, dims, preferred_element_type=jnp.float32))
+
+
 def _cumsum1(x):
     """Inclusive cumsum along axis 1 via triangular MXU matmul."""
-    return jax.lax.dot_general(
-        x, _tri(x.shape[1]), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    return _dot2(x, _tri(x.shape[1]), (((1,), (0,)), ((), ())))
 
 
 def _cumsum0(x):
     """Exclusive cumsum along axis 1 via strict-triangular MXU matmul."""
-    return jax.lax.dot_general(
-        x, _tri(x.shape[1], strict=True), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    return _dot2(x, _tri(x.shape[1], strict=True), (((1,), (0,)), ((), ())))
 
 
 def _pixel_coords(t, grid_x):
@@ -222,12 +239,14 @@ def _fwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, color_ref, invd_ref,
         live = incl >= T_EPS
         w = jnp.where(live, a_eff * t_ex, 0.0)
         contract = (((1,), (1,)), ((), ()))
-        C = C + jax.lax.dot_general(
-            w, unpacked[6], contract,
-            preferred_element_type=jnp.float32)   # (PIX, 3) rgb
-        D = D + jax.lax.dot_general(
-            w, unpacked[7], contract,
-            preferred_element_type=jnp.float32)   # (PIX, 1) invdepth
+        # rgb/invdepth rows are bf16-valued by spec: the 2-limb split of w
+        # makes these accumulations exact (see _dot2). One fused (4, K)
+        # contraction — a separate 1-row invdepth dot lowers to a Mosaic
+        # multi_reduction that rejects non-constant accumulators.
+        rgbd = jnp.concatenate([unpacked[6], unpacked[7]], axis=0)  # (4, K)
+        acc = _dot2(w, rgbd, contract)            # (PIX, 4)
+        C = C + acc[:, 0:3]
+        D = D + acc[:, 3:4]
         R = incl[:, -1:]
         # Masked final transmittance: `incl` is non-increasing along the
         # pair axis, so `live` is a PREFIX and the transmittance at the
@@ -388,11 +407,8 @@ def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
             w = jnp.where(live, a_eff * t_ex, 0.0)  # (PIX, K)
 
             # ρ(pix, k) = Σ_c dC_c·c_k_c + dD·d_k — folds all cotangents.
-            rho = jax.lax.dot_general(
-                dC, unpacked[6],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) \
-                + dD * unpacked[7]
+            rho = _dot2(dC, unpacked[6],
+                        (((1,), (0,)), ((), ()))) + dD * unpacked[7]
             wrho = w * rho
             cum_wrho = _cumsum1(wrho)                       # inclusive prefix
             suffix = r_total - r_pref - cum_wrho            # Σ_{j>k} w_j ρ_j
@@ -446,10 +462,13 @@ def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
             d_cb = -e11
             d_cc = -0.5 * e02
             contract = (((0,), (0,)), ((), ()))
-            d_rgb = jax.lax.dot_general(
-                dC, w, contract, preferred_element_type=jnp.float32)  # (3,K)
-            d_id = jax.lax.dot_general(
-                dD, w, contract, preferred_element_type=jnp.float32)  # (1,K)
+            # One fused (4, K) contraction (see the forward's rgbd note);
+            # dC/dD ride the 2-limb split, w's own low bits only meet the
+            # low limb (error ~2^-16 relative, inside the grad spec).
+            dCD = jnp.concatenate([dC, dD], axis=1)      # (PIX, 4)
+            d_rgbd = _dot2(dCD, w, contract)             # (4, K)
+            d_rgb = d_rgbd[0:3]
+            d_id = d_rgbd[3:4]
 
             new_g = jnp.concatenate(
                 [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_rgb, d_id,

@@ -59,8 +59,12 @@ def _composite_pixels(px, py, mean2d, conic, opacity, rgb, invdepth,
     t_excl = jnp.concatenate(
         [jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=1)
     w = jnp.where(live, a * t_excl, 0.0)  # (P, N) compositing weights
-    color = w @ rgb  # (P, 3)
-    inv_d = w @ invdepth
+    # HIGHEST: the golden model must not inherit the TPU MXU's DEFAULT
+    # bf16 operand truncation (~0.4% colour error on-chip; CPU is f32
+    # either way).
+    hi = jax.lax.Precision.HIGHEST
+    color = jnp.matmul(w, rgb, precision=hi)  # (P, 3)
+    inv_d = jnp.matmul(w, invdepth, precision=hi)
     final_t = jnp.prod(jnp.where(live, 1.0 - a, 1.0), axis=1)
     n_contrib = jnp.sum((w > 0.0).astype(jnp.int32), axis=1)
     return color, inv_d, final_t, n_contrib

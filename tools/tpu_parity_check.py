@@ -49,11 +49,20 @@ def main(argv):
             cam.world_view, cam.full_proj, cam.cam_center,
             w, h, cam.tan_fovx, cam.tan_fovy, antialiasing=True)
 
+    # Size the pair capacity from the scene: parity only holds when no
+    # pairs are dropped (the oracle has no capacity).
+    probe = jax.jit(lambda p: rp.rasterize(
+        project(p), bg, w, h, interpret=False))(params)
+    n_rect = int(probe["num_rect_pairs"])
+    cap = rp.round_capacity(int(n_rect * 1.1))
+    print(f"rect_pairs={n_rect} capacity={cap}")
+
     def fwd(p, backend):
         proj = project(p)
         if backend == "oracle":
             return ref_ops.rasterize_reference(proj, bg, w, h)
-        return rp.rasterize(proj, bg, w, h, interpret=False)
+        return rp.rasterize(proj, bg, w, h, pair_capacity=cap,
+                            interpret=False)
 
     out_p = jax.jit(lambda p: fwd(p, "pallas"))(params)
     out_o = jax.jit(lambda p: fwd(p, "oracle"))(params)
@@ -69,8 +78,8 @@ def main(argv):
         if backend == "oracle":
             out = ref_ops.rasterize_reference(proj, bg, w, h)
         else:
-            out = rp.rasterize(proj, bg, w, h, interpret=False,
-                               exact_grads=exact)
+            out = rp.rasterize(proj, bg, w, h, pair_capacity=cap,
+                               interpret=False, exact_grads=exact)
         return (jnp.mean((out["render"] - target) ** 2)
                 + 0.1 * jnp.mean(jnp.abs(out["invdepth"])))
 
