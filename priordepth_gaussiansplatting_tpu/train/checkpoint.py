@@ -28,28 +28,54 @@ from ..data import ply as ply_io
 
 
 def save_checkpoint(path: str, state: GaussianState, opt_state: optim.AdamState,
-                    iteration: int) -> None:
+                    iteration: int, compact: bool = False) -> None:
+    """Pickle the full training state (reference `torch.save((capture(), it))`).
+
+    compact=True stores only the ACTIVE rows (gathered on-device before the
+    host pull): a capacity-2M store with 400k live rows shrinks ~5×, which
+    matters when the device→host link is slow (remote-TPU tunnels measure
+    ~16 MB/s). `load_checkpoint` re-pads to the recorded capacity.
+    """
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if compact:
+        idx = jnp.asarray(np.flatnonzero(np.asarray(state.active)))
+
+        def take(p: GaussianParams) -> dict:
+            d = dataclass_to_dict(p)
+            return {k: (v if k == "exposure" else jnp.take(v, idx, axis=0))
+                    for k, v in d.items()}
+
+        row = lambda x: jnp.take(x, idx, axis=0)
+        state_d = {"params": take(state.params),
+                   "max_radii2d": row(state.max_radii2d),
+                   "xyz_gradient_accum": row(state.xyz_gradient_accum),
+                   "denom": row(state.denom),
+                   "active_sh_degree": state.active_sh_degree}
+        opt_d = {"mu": take(opt_state.mu), "nu": take(opt_state.nu),
+                 "count": opt_state.count}
+    else:
+        state_d = {"params": dataclass_to_dict(state.params),
+                   "active": state.active,
+                   "max_radii2d": state.max_radii2d,
+                   "xyz_gradient_accum": state.xyz_gradient_accum,
+                   "denom": state.denom,
+                   "active_sh_degree": state.active_sh_degree}
+        opt_d = {"mu": dataclass_to_dict(opt_state.mu),
+                 "nu": dataclass_to_dict(opt_state.nu),
+                 "count": opt_state.count}
     payload = {
         "iteration": iteration,
         "spatial_lr_scale": state.spatial_lr_scale,
         "max_sh_degree": state.max_sh_degree,
-        "state": jax.tree.map(np.asarray, {
-            "params": dataclass_to_dict(state.params),
-            "active": state.active,
-            "max_radii2d": state.max_radii2d,
-            "xyz_gradient_accum": state.xyz_gradient_accum,
-            "denom": state.denom,
-            "active_sh_degree": state.active_sh_degree,
-        }),
-        "opt": jax.tree.map(np.asarray, {
-            "mu": dataclass_to_dict(opt_state.mu),
-            "nu": dataclass_to_dict(opt_state.nu),
-            "count": opt_state.count,
-        }),
+        "state": jax.tree.map(np.asarray, state_d),
+        "opt": jax.tree.map(np.asarray, opt_d),
     }
-    with open(path, "wb") as f:
+    if compact:
+        payload["compact_capacity"] = state.capacity
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         pickle.dump(payload, f)
+    os.replace(tmp, path)
 
 
 def _flat_features(d: dict) -> dict:
@@ -67,6 +93,45 @@ def load_checkpoint(path: str):
     with open(path, "rb") as f:
         p = pickle.load(f)
     s = p["state"]
+    if "compact_capacity" in p:
+        cap = int(p["compact_capacity"])
+        n = int(np.asarray(s["params"]["xyz"]).shape[0])
+
+        def padrow(x, fill=0.0):
+            x = np.asarray(x)
+            widths = [(0, cap - n)] + [(0, 0)] * (x.ndim - 1)
+            return np.pad(x, widths, constant_values=fill)
+
+        # Padding rows need finite activations (unit quats, tiny scales —
+        # same fills as gm.create_from_points/grow_capacity): an all-zero
+        # quaternion normalises to NaN and poisons the whole state through
+        # the first gradient step.
+        PARAM_FILLS = {"scaling": np.log(1e-6), "opacity": -6.0}
+
+        def padp(d: dict, param_fills: bool) -> dict:
+            out = {}
+            for k, v in d.items():
+                if k == "exposure":
+                    out[k] = v
+                elif param_fills and k == "rotation":
+                    pad = np.zeros((cap - n, 4), np.asarray(v).dtype)
+                    pad[:, 0] = 1.0
+                    out[k] = np.concatenate([np.asarray(v), pad])
+                else:
+                    out[k] = padrow(v, PARAM_FILLS.get(k, 0.0)
+                                    if param_fills else 0.0)
+            return out
+
+        s = {"params": padp(s["params"], True),
+             "active": np.arange(cap) < n,
+             "max_radii2d": padrow(s["max_radii2d"]),
+             "xyz_gradient_accum": padrow(s["xyz_gradient_accum"]),
+             "denom": padrow(s["denom"]),
+             "active_sh_degree": s["active_sh_degree"]}
+        o = p["opt"]
+        p = dict(p)
+        p["opt"] = {"mu": padp(o["mu"], False), "nu": padp(o["nu"], False),
+                    "count": o["count"]}
     state = GaussianState(
         params=GaussianParams(**{k: jnp.asarray(v)
                                  for k, v in _flat_features(

@@ -249,7 +249,8 @@ class Trainer:
                 ckpt.save_checkpoint(
                     os.path.join(self.model_cfg.model_path,
                                  f"chkpnt{it}.pkl"),
-                    self.state, self.opt_state, it)
+                    self.state, self.opt_state, it,
+                    compact=getattr(self, "checkpoint_compact", False))
             if on_iteration is not None:
                 on_iteration(self, it, metrics)
         wall = time.time() - t_start

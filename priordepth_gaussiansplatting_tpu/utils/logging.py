@@ -80,16 +80,21 @@ class MetricsLogger:
         tb_writer.add_histogram on the opacity vector). The JSONL records
         the bin counts + edges so the distribution is reconstructible."""
         values = np.asarray(values).reshape(-1)
-        if self._tb is not None:
-            self._tb.add_histogram(tag, values, global_step=step)
+        # torch's add_histogram raises on empty/all-nonfinite input; a
+        # logging call must never kill a training run.
+        finite = values[np.isfinite(values)]
+        if self._tb is not None and finite.size:
+            self._tb.add_histogram(tag, finite, global_step=step)
         if self._fh is not None:
-            counts, edges = np.histogram(values, bins=bins)
+            counts, edges = (np.histogram(finite, bins=bins) if finite.size
+                             else (np.zeros(bins, np.int64),
+                                   np.zeros(bins + 1)))
             self._fh.write(json.dumps(
                 {"tag": tag, "step": int(step), "ts": time.time(),
                  "hist": {"counts": counts.tolist(),
                           "lo": float(edges[0]), "hi": float(edges[-1]),
-                          "mean": float(values.mean()) if values.size else 0.0,
-                          "n": int(values.size)}}) + "\n")
+                          "mean": float(finite.mean()) if finite.size else 0.0,
+                          "n": int(finite.size)}}) + "\n")
             self._fh.flush()
 
     def close(self) -> None:

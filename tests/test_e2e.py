@@ -97,6 +97,34 @@ def test_checkpoint_roundtrip(trained):
     assert int(opt_state.count) == int(trainer.opt_state.count)
 
 
+def test_compact_checkpoint_roundtrip_and_finite_padding(trained, tmp_path):
+    """Compact checkpoints (active rows only) must reload exactly AND pad
+    the inactive tail with finite-activation fills — an all-zero padding
+    quaternion normalises to NaN and poisons the first resumed gradient
+    step (r04 regression)."""
+    trainer, _, _ = trained
+    path = str(tmp_path / "compact.pkl")
+    ckpt.save_checkpoint(path, trainer.state, trainer.opt_state, 60,
+                         compact=True)
+    state, opt_state, it = ckpt.load_checkpoint(path)
+    assert it == 60
+    assert state.capacity == trainer.state.capacity
+    act0 = np.asarray(trainer.state.active)
+    act1 = np.asarray(state.active)
+    assert act0.sum() == act1.sum()
+    # active rows identical (compaction may reorder only if the source mask
+    # had holes; compare as sorted sets via lexsort on xyz)
+    a = np.asarray(trainer.state.params.xyz)[act0]
+    b = np.asarray(state.params.xyz)[act1]
+    np.testing.assert_allclose(np.sort(a, axis=0), np.sort(b, axis=0))
+    np.testing.assert_allclose(np.asarray(opt_state.mu.xyz)[act1],
+                               np.asarray(trainer.opt_state.mu.xyz)[act0])
+    # every activation finite across the FULL capacity, including padding
+    for arr in (state.get_scaling(), state.get_rotation(),
+                state.get_opacity()):
+        assert np.isfinite(np.asarray(arr)).all()
+
+
 def test_eval_history_recorded(trained):
     trainer, _, _ = trained
     assert trainer.history

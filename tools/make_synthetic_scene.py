@@ -31,6 +31,11 @@ SPHERES = [
     (np.array([0.0, 0.38, 0.0]), 0.38),
     (np.array([0.55, 0.16, 0.35]), 0.16),
     (np.array([-0.5, 0.12, -0.3]), 0.12),
+    (np.array([0.32, 0.1, -0.45]), 0.10),
+    (np.array([-0.28, 0.09, 0.5]), 0.09),
+    (np.array([0.75, 0.08, -0.15]), 0.08),
+    (np.array([-0.75, 0.11, 0.12]), 0.11),
+    (np.array([0.05, 0.07, 0.72]), 0.07),
 ]
 LIGHT = _normalize(np.array([0.4, 1.0, 0.25]))
 
@@ -44,23 +49,40 @@ def _sphere_color(i, p, c, r):
         base = np.stack([0.85 * stripes + 0.1,
                          0.25 + 0.5 * (1 - stripes),
                          0.3 + 0.2 * np.sin(4 * phi)], -1)
+        # high-frequency speckle overlay: detail that only densified,
+        # small splats can represent
+        spec = 0.12 * np.sin(37 * phi) * np.sin(29 * theta)
+        base = base + spec[..., None]
     elif i == 1:
         check = ((np.floor(phi * 3 / np.pi) + np.floor(theta * 6 / np.pi))
                  % 2)
         base = np.stack([0.2 + 0.6 * check, 0.7 - 0.4 * check,
                          0.25 + 0.1 * check], -1)
     else:
-        base = np.stack([0.9 + 0 * phi, 0.8 + 0.1 * np.sin(8 * theta),
-                         0.15 + 0 * phi], -1)
+        # deterministic per-index palette + fine stripes/checks
+        f1, f2 = 11 + 6 * i, 7 + 4 * i
+        u = 0.5 + 0.5 * np.sin(f1 * phi) * np.cos(f2 * theta)
+        v = ((np.floor(phi * (2 + i) / np.pi)
+              + np.floor(theta * (3 + i) / np.pi)) % 2)
+        cols = np.array([[0.9, 0.7, 0.15], [0.2, 0.75, 0.85],
+                         [0.85, 0.3, 0.5], [0.35, 0.85, 0.3],
+                         [0.8, 0.45, 0.2], [0.5, 0.4, 0.9]])
+        a = cols[i % len(cols)]
+        b = cols[(i + 3) % len(cols)]
+        base = (u[..., None] * a + (1 - u[..., None]) * b
+                + 0.15 * (v[..., None] - 0.5))
     return base
 
 
 def _ground_color(p):
     check = ((np.floor(p[..., 0] / 0.25) + np.floor(p[..., 2] / 0.25)) % 2)
+    # fine sub-check grain (1/16 scale) modulates each cell
+    fine = ((np.floor(p[..., 0] / 0.0625) + np.floor(p[..., 2] / 0.0625))
+            % 2) * 0.12 - 0.06
     warm = np.stack([0.75 + 0 * check, 0.55 + 0 * check, 0.35 + 0 * check],
                     -1)
     cool = np.stack([0.25 + 0 * check, 0.3 + 0 * check, 0.4 + 0 * check], -1)
-    return np.where(check[..., None] > 0, warm, cool)
+    return np.where(check[..., None] > 0, warm, cool) + fine[..., None]
 
 
 def _sky_color(d):

@@ -1,47 +1,97 @@
 #!/usr/bin/env python
-"""Full-scale training proof on the real chip (VERDICT r02 #4).
+"""Full-scale resumable training proof on the real chip (VERDICT r03 #1).
 
 Builds a multi-view synthetic scene (tools/make_synthetic_scene.py — no
-real datasets exist in this image), trains the reference 30k-iteration
-schedule with densification to ≥1M active Gaussians, and records the PSNR
-trajectory, steady-state iters/s, and wall time to docs/PROOF_r03.{md,json}
-— the `full_eval.py`-shaped evidence the reference reports as charts
-(`/root/reference/full_eval.py:47-113`, `results.md`).
+real datasets exist in this image), trains the reference schedule EXTENDED
+past 40k so the thesis events fire on-chip (noise injection @30k =
+`/root/reference/train.py:193-221`, floating-prune loop @40k =
+`train.py:224-291`), records the held-out PSNR curve (reference
+`training_report`, `train.py:402-445`), then runs render.py + metrics.py on
+the final snapshot (reference `full_eval.py:103-113`).
 
-Capacity knobs keep the run to ~2 compiled programs (remote compiles cost
-~10 min each): the Gaussian store is pre-sized and the pair capacity
-pinned.
+Robustness around remote-TPU tunnel stalls (what killed the r03 run):
+  * compact checkpoints every --ckpt_every iterations (active rows only);
+  * auto-resume from the newest checkpoint on restart;
+  * an internal stall watchdog hard-exits(9) if no iteration completes for
+    --stall_timeout seconds — the supervisor (tools/proof_supervisor.sh)
+    relaunches, so a stall costs minutes, not the round;
+  * pinned pair capacity (ONE compiled program); ≥10 consecutive pair
+    overflows exit(7) so the supervisor can restart with a larger pin;
+  * progress JSON rewritten continuously — an interrupted run still has
+    its full trajectory on disk.
 
-Usage: python tools/train_proof.py [out_dir] [size] [iters]
+Usage: python tools/train_proof.py [--out DIR] [--iters N] ...
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import re
+import subprocess
 import sys
+import threading
 import time
 
+import numpy as np
 
-def main(argv):
-    out = argv[0] if argv else "/tmp/proof_r03"
-    size = int(argv[1]) if len(argv) > 1 else 1024
-    iters = int(argv[2]) if len(argv) > 2 else 30_000
-    scene_dir = os.path.join(out, "scene")
-    model_dir = os.path.join(out, "model")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def find_latest_checkpoint(model_dir: str):
+    if not os.path.isdir(model_dir):
+        return None
+    best = None
+    for f in os.listdir(model_dir):
+        m = re.match(r"chkpnt(\d+)\.pkl$", f)
+        if m:
+            it = int(m.group(1))
+            if best is None or it > best[0]:
+                best = (it, os.path.join(model_dir, f))
+    return best
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(REPO, ".proofrun"))
+    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--views", type=int, default=64)
+    ap.add_argument("--points", type=int, default=24000)
+    ap.add_argument("--iters", type=int, default=40500)
+    ap.add_argument("--ckpt_every", type=int, default=3000)
+    ap.add_argument("--grad_threshold", type=float, default=4e-5)
+    ap.add_argument("--capacity", type=int, default=1 << 21)
+    ap.add_argument("--pin_pairs", type=int, default=9 * (1 << 20))
+    ap.add_argument("--stall_timeout", type=float, default=1500.0)
+    ap.add_argument("--first_timeout", type=float, default=3600.0,
+                    help="watchdog grace for the first (compiling) step")
+    ap.add_argument("--tag", default="r04")
+    args = ap.parse_args(argv)
+
+    scene_dir = os.path.join(args.out, "scene")
+    model_dir = os.path.join(args.out, "model")
+    docs_dir = os.environ.get("PDGS_PROOF_DOCS", os.path.join(REPO, "docs"))
+    status_path = os.path.join(docs_dir, f"PROOF_{args.tag}.json")
+    md_path = os.path.join(docs_dir, f"PROOF_{args.tag}.md")
+    os.makedirs(docs_dir, exist_ok=True)
 
     import jax
     try:
-        jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         os.path.join(REPO, ".jax_cache")))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
 
     if not os.path.exists(os.path.join(scene_dir, "sparse")):
-        sys.argv = ["make_synthetic_scene", scene_dir, str(size), "48"]
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         import make_synthetic_scene  # noqa: PLC0415
-        make_synthetic_scene.main([scene_dir, str(size), "48"])
+        make_synthetic_scene.main(scene_dir, args.size, args.views,
+                                  n_points=args.points)
 
     from priordepth_gaussiansplatting_tpu.data.dataset import Scene
     from priordepth_gaussiansplatting_tpu.train.trainer import Trainer
@@ -51,73 +101,195 @@ def main(argv):
     model_cfg = ModelConfig(source_path=scene_dir, model_path=model_dir,
                             eval=True)
     opt_cfg = OptimizationConfig(
-        iterations=iters,
-        densify_grad_threshold=1e-4,   # push density toward the 1M target
-        noise_injection_iter=0, floating_prune_iter=0)
+        iterations=args.iters,
+        densify_grad_threshold=args.grad_threshold,
+        noise_injection_iter=30_000, floating_prune_iter=40_000)
     pipe_cfg = PipelineConfig(backend="pallas", antialiasing=True)
     scene = Scene(scene_dir, model_dir, eval_split=True, resolution=-1)
 
     trainer = Trainer(model_cfg, opt_cfg, pipe_cfg, scene, quiet=False,
-                      init_capacity=1 << 21,
-                      pin_pair_capacity=6 * (1 << 20))
+                      init_capacity=args.capacity,
+                      pin_pair_capacity=args.pin_pairs)
+    trainer.checkpoint_compact = True
 
-    stamps = []
+    # Consecutive pinned-capacity overflows mean every step is being
+    # skipped: bail out so the supervisor can raise the pin.
+    overflow_streak = [0]
+    orig_adapt = trainer._adapt_pair_capacity
 
-    def on_it(tr, it, metrics):
-        if it % 500 == 0:
-            stamps.append((it, time.time()))
+    def adapt(num_pairs, overflow):
+        if overflow > 0:
+            overflow_streak[0] += 1
+            if overflow_streak[0] >= 10:
+                print(f"[proof] {overflow_streak[0]} consecutive pair "
+                      f"overflows at pin {args.pin_pairs}; exiting 7 for a "
+                      "pin bump", flush=True)
+                save_status("overflow")
+                os._exit(7)
+        else:
+            overflow_streak[0] = 0
+        orig_adapt(num_pairs, overflow)
+
+    trainer._adapt_pair_capacity = adapt
+
+    # ---- resume ----
+    prior_wall = 0.0
+    trajectory = []  # rows: [iteration, ema_loss, n_active]
+    if os.path.exists(status_path):
+        try:
+            with open(status_path) as f:
+                prev = json.load(f)
+            if prev.get("config", {}).get("iters") == args.iters:
+                trajectory = prev.get("trajectory", [])
+                trainer.history = prev.get("history", [])
+                prior_wall = prev.get("wall_s", 0.0)
+        except Exception as e:
+            print(f"[proof] could not reuse {status_path}: {e}", flush=True)
+    latest = find_latest_checkpoint(model_dir)
+    if latest is not None:
+        trainer.restore(latest[1])
+        trajectory = [r for r in trajectory if r[0] <= latest[0]]
+        trainer.history = [h for h in trainer.history
+                           if h["iteration"] <= latest[0]]
+        print(f"[proof] resuming from iteration {latest[0]}", flush=True)
 
     t0 = time.time()
-    result = trainer.train(
-        iterations=iters,
-        test_iterations=(1000, 7000, 15_000, iters),
-        save_iterations=(7000, iters),
-        checkpoint_iterations=(iters,),
-        on_iteration=on_it)
-    wall = time.time() - t0
+    progress = {"it": trainer.iteration, "t": time.time(), "first": True}
 
-    # steady-state iters/s from the last third of the stamps
-    its = 0.0
+    def save_status(status: str, extra: dict | None = None):
+        payload = {
+            "status": status,
+            "config": {"size": args.size, "views": args.views,
+                       "iters": args.iters, "capacity": args.capacity,
+                       "pin_pairs": args.pin_pairs,
+                       "grad_threshold": args.grad_threshold,
+                       "noise_injection_iter": 30_000,
+                       "floating_prune_iter": 40_000},
+            "iteration": trainer.iteration,
+            "wall_s": prior_wall + (time.time() - t0),
+            "n_active": int(np.asarray(trainer.state.num_active)),
+            "trajectory": trajectory,
+            "history": trainer.history,
+        }
+        if extra:
+            payload.update(extra)
+        tmp = status_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=1)
+        os.replace(tmp, status_path)
+
+    def watchdog():
+        while True:
+            time.sleep(30)
+            limit = (args.first_timeout if progress["first"]
+                     else args.stall_timeout)
+            if time.time() - progress["t"] > limit:
+                print(f"[proof] WATCHDOG: no progress for {limit:.0f}s "
+                      f"(last it {progress['it']}); exiting 9", flush=True)
+                os._exit(9)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
+    ckpt_iters = set(range(args.ckpt_every, args.iters + 1, args.ckpt_every))
+    ckpt_iters.add(args.iters)
+    stamps = []  # (iteration, wall) for this process only
+
+    def on_it(tr, it, metrics):
+        progress.update(it=it, t=time.time(), first=False)
+        if it % 500 == 0:
+            stamps.append((it, time.time()))
+        if it % 100 == 0:
+            trajectory.append([it, round(tr.ema_loss, 6), -1])
+        if it % 500 == 0:
+            trajectory[-1][2] = int(np.asarray(tr.state.num_active))
+            save_status("running")
+        if it in ckpt_iters:
+            # keep the two newest checkpoints
+            its = sorted(int(m.group(1)) for f in os.listdir(model_dir)
+                         if (m := re.match(r"chkpnt(\d+)\.pkl$", f)))
+            for old in its[:-2]:
+                os.remove(os.path.join(model_dir, f"chkpnt{old}.pkl"))
+
+    result = trainer.train(
+        iterations=args.iters,
+        test_iterations=(1000, 7000, 15_000, 30_000, args.iters),
+        save_iterations=(7000, 30_000, args.iters),
+        checkpoint_iterations=tuple(sorted(ckpt_iters)),
+        on_iteration=on_it)
+    wall = prior_wall + (time.time() - t0)
+
+    # steady-state iters/s from the last third of THIS process's stamps
+    # (timing must come from one uninterrupted process segment).
+    its_per_s = None
     if len(stamps) >= 3:
-        tail = stamps[len(stamps) // 3:]
-        its = (tail[-1][0] - tail[0][0]) / max(tail[-1][1] - tail[0][1],
-                                               1e-9)
-    payload = {
-        "scene": {"size": size, "views": 48},
-        "iterations": iters,
-        "wall_s": wall,
-        "steady_iters_per_s": its,
-        "n_active_final": result["n_active"],
-        "history": trainer.history,
+        t = stamps[len(stamps) // 3:]
+        its_per_s = (t[-1][0] - t[0][0]) / max(t[-1][1] - t[0][1], 1e-9)
+
+    # ---- final eval: render.py + metrics.py on the last snapshot ----
+    eval_results = {}
+    try:
+        env = dict(os.environ)
+        subprocess.run([sys.executable, os.path.join(REPO, "render.py"),
+                        "-m", model_dir, "--skip_train"],
+                       check=True, cwd=REPO, env=env, timeout=3600)
+        subprocess.run([sys.executable, os.path.join(REPO, "metrics.py"),
+                        "-m", model_dir], check=True, cwd=REPO, env=env,
+                       timeout=3600)
+        with open(os.path.join(model_dir, "results.json")) as f:
+            eval_results = json.load(f)
+    except Exception as e:
+        print(f"[proof] final render/metrics failed: {e}", flush=True)
+        eval_results = {"error": str(e)}
+
+    final_test = next((h.get("test", {}).get("psnr")
+                       for h in reversed(trainer.history)
+                       if h.get("test")), None)
+    save_status("complete", {
         "final_loss": result["final_loss"],
-    }
-    os.makedirs("docs", exist_ok=True)
-    with open("docs/PROOF_r03.json", "w") as f:
-        json.dump(payload, f, indent=2)
+        "n_active_final": result["n_active"],
+        "steady_iters_per_s": its_per_s,
+        "metrics": eval_results,
+        "final_test_psnr": final_test,
+    })
+
     lines = [
-        "# Training proof — r03 (real TPU chip)",
+        f"# Training proof — {args.tag} (real TPU chip)",
         "",
-        f"Synthetic {size}² scene (48 views, tools/make_synthetic_scene.py),"
-        f" {iters} iterations, reference schedule, Pallas path.",
+        f"Synthetic {args.size}² scene ({args.views} views,"
+        " tools/make_synthetic_scene.py),"
+        f" {args.iters} iterations (reference 30k schedule + thesis events:"
+        " noise injection @30k, floating-prune loop @40k), Pallas path,"
+        " checkpoint/auto-resume around tunnel stalls.",
         "",
-        f"* wall time: **{wall / 60:.1f} min**"
-        f" (reference ≈ 25 min/30k on a 24 GB RTX GPU)",
-        f"* steady-state: **{its:.2f} iters/s**",
-        f"* final active Gaussians: **{result['n_active']:,}**",
+        f"* total wall time (across resumes): **{wall / 60:.1f} min**",
+        f"* steady-state (final process segment): "
+        f"**{its_per_s:.2f} iters/s**" if its_per_s else
+        "* steady-state: n/a (short final segment)",
+        f"* final active Gaussians: **{result['n_active']:,}**"
+        f" (capacity {args.capacity:,})",
         "",
-        "| iteration | test PSNR | train PSNR |",
-        "|---|---|---|",
+        "## Held-out PSNR trajectory (trainer.report, reference"
+        " train.py:402-445)",
+        "",
+        "| iteration | test PSNR | test L1 | train PSNR |",
+        "|---|---|---|---|",
     ]
     for h in trainer.history:
-        t = h.get("test", {}).get("psnr")
-        tr = h.get("train", {}).get("psnr")
-        lines.append(f"| {h['iteration']} | "
-                     f"{t if t is None else round(t, 2)} | "
-                     f"{tr if tr is None else round(tr, 2)} |")
-    with open("docs/PROOF_r03.md", "w") as f:
+        t = h.get("test", {})
+        tr = h.get("train", {})
+        fmt = lambda v, n=2: "—" if v is None else round(v, n)
+        lines.append(f"| {h['iteration']} | {fmt(t.get('psnr'))} | "
+                     f"{fmt(t.get('l1'), 4)} | {fmt(tr.get('psnr'))} |")
+    lines += ["", "## metrics.py on the final snapshot", "",
+              "```json", json.dumps(eval_results, indent=2), "```", ""]
+    with open(md_path, "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(json.dumps({k: v for k, v in payload.items() if k != "history"}))
+    print(json.dumps({"status": "complete", "wall_s": wall,
+                      "n_active": result["n_active"],
+                      "final_test_psnr": final_test,
+                      "metrics": eval_results}), flush=True)
+    return 0
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:])
+    sys.exit(main())
