@@ -3,7 +3,7 @@
 # stall (exit 9, internal watchdog) or crash; bumps the pinned pair
 # capacity on exit 7 (persistent overflow). A tunnel stall therefore costs
 # minutes (resume from the newest compact checkpoint), not the round.
-cd /root/repo || exit 1
+cd "$(dirname "$0")/.." || exit 1
 OUT=${OUT:-/root/repo/.proofrun}
 PIN=${PIN:-9437184}
 ITERS=${ITERS:-40500}
