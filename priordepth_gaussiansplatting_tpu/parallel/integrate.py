@@ -29,23 +29,14 @@ from . import mesh as mesh_lib
 from . import step as pstep
 
 
-def interleave_rows(state: GaussianState, opt_state: optim.AdamState,
-                    n_gauss: int):
-    """Permute Gaussian rows so active rows spread evenly across shards.
-
-    `create_from_points` packs live rows at the front; sharding that layout
-    would fill shard 0 and leave the last shard empty (no free slots for
-    shard-local densification, all projection work on one rank). Row order
-    is semantically irrelevant (the pair pipeline depth-sorts), so place
-    row i at shard (i mod n_gauss)."""
-    c = state.capacity
-    if n_gauss <= 1 or c % n_gauss != 0:
-        return state, opt_state
-    # perm[dst] = src: shard k's slot j takes old row j*n_gauss + k.
-    perm = np.concatenate([np.arange(k, c, n_gauss) for k in range(n_gauss)])
+def _permute_rows(state: GaussianState, opt_state: optim.AdamState, perm):
+    """Apply a row permutation (perm[dst] = src) to every per-Gaussian leaf
+    of the state and the Adam moments. Row order is semantically irrelevant
+    (the pair pipeline depth-sorts), so any permutation is loss-preserving."""
+    perm = jnp.asarray(perm)
 
     def take(x):
-        return x[jnp.asarray(perm)]
+        return x[perm]
 
     def take_params(p: GaussianParams) -> GaussianParams:
         return GaussianParams(
@@ -60,6 +51,61 @@ def interleave_rows(state: GaussianState, opt_state: optim.AdamState,
         denom=take(state.denom))
     opt_state = optim.AdamState(mu=take_params(opt_state.mu),
                                 nu=take_params(opt_state.nu),
+                                count=opt_state.count)
+    return state, opt_state
+
+
+def interleave_rows(state: GaussianState, opt_state: optim.AdamState,
+                    n_gauss: int):
+    """Permute Gaussian rows so active rows spread evenly across shards.
+
+    `create_from_points` packs live rows at the front; sharding that layout
+    would fill shard 0 and leave the last shard empty (no free slots for
+    shard-local densification, all projection work on one rank). Place
+    row i at shard (i mod n_gauss)."""
+    c = state.capacity
+    if n_gauss <= 1 or c % n_gauss != 0:
+        return state, opt_state
+    # perm[dst] = src: shard k's slot j takes old row j*n_gauss + k.
+    perm = np.concatenate([np.arange(k, c, n_gauss) for k in range(n_gauss)])
+    return _permute_rows(state, opt_state, perm)
+
+
+def compact_rows(state: GaussianState, opt_state: optim.AdamState):
+    """Pack active rows at the front (inactive tail preserved in order).
+
+    Restoring a checkpoint into a sharded trainer needs shard-balanced
+    actives; compacting first makes the follow-up `interleave_rows` balance
+    EXACTLY regardless of where the checkpoint's free slots were (a
+    mid-training save has densify holes scattered arbitrarily)."""
+    act = np.asarray(state.active)
+    perm = np.concatenate([np.flatnonzero(act), np.flatnonzero(~act)])
+    return _permute_rows(state, opt_state, perm)
+
+
+def pad_capacity_to_multiple(state: GaussianState,
+                             opt_state: optim.AdamState, n_gauss: int):
+    """Round capacity up to a multiple of n_gauss (shard rows must divide
+    evenly). Used when restoring a checkpoint whose capacity was chosen
+    without a mesh in mind."""
+    c = state.capacity
+    target = -(-c // n_gauss) * n_gauss
+    if target == c:
+        return state, opt_state
+    state = gm.grow_capacity(state, target)
+    extra = target - c
+
+    def padp(p: GaussianParams) -> GaussianParams:
+        def pad(x):
+            widths = [(0, extra)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths)
+
+        return GaussianParams(
+            **{k: (pad(getattr(p, k)) if k in mesh_lib._PER_GAUSSIAN
+                   else getattr(p, k))
+               for k in GaussianParams.__dataclass_fields__})
+
+    opt_state = optim.AdamState(mu=padp(opt_state.mu), nu=padp(opt_state.nu),
                                 count=opt_state.count)
     return state, opt_state
 

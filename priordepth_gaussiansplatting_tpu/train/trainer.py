@@ -137,6 +137,19 @@ class Trainer:
         self.state, self.opt_state, self.iteration = ckpt.load_checkpoint(path)
         if self.mesh is not None:
             from ..parallel import integrate as par  # noqa: PLC0415
+            if self.n_gauss > 1:
+                # The checkpoint may come from an UNSHARDED run (active rows
+                # packed at the front — sharding that naively starves every
+                # shard but the first) or from a sharded run with arbitrary
+                # densify holes. Compact-then-interleave balances actives
+                # across shards exactly in both cases; row order is
+                # loss-irrelevant (the pair pipeline depth-sorts).
+                self.state, self.opt_state = par.pad_capacity_to_multiple(
+                    self.state, self.opt_state, self.n_gauss)
+                self.state, self.opt_state = par.compact_rows(
+                    self.state, self.opt_state)
+                self.state, self.opt_state = par.interleave_rows(
+                    self.state, self.opt_state, self.n_gauss)
             self.state, self.opt_state = par.place_sharded(
                 self.state, self.opt_state, self.mesh)
         print(f"Restored checkpoint at iteration {self.iteration}")
@@ -298,6 +311,19 @@ class Trainer:
             self.state, self.opt_state = par.place_sharded(
                 self.state, self.opt_state, self.mesh)
 
+    def _unshard(self) -> None:
+        """Pull the training state onto the default device (host round
+        trip). The thesis events (noise injection, floating-prune loop) and
+        the GUI render path run per-view jitted functions that are written
+        for unsharded state; gathering once up front is cheap at event
+        frequency (twice per run) and avoids relying on implicit GSPMD
+        resharding of every per-view call. `_replace_sharded` restores the
+        mesh placement afterwards."""
+        if self.mesh is not None:
+            pull = lambda x: jnp.asarray(np.asarray(x))
+            self.state = jax.tree.map(pull, self.state)
+            self.opt_state = jax.tree.map(pull, self.opt_state)
+
     # ------------------------------------------------------------- eval
     def report(self, it: int) -> dict:
         """Validation PSNR on held-out (or train-subset) views
@@ -359,6 +385,7 @@ class Trainer:
         """Iteration-30000 robustness experiment: plant floating Gaussians
         (`train.py:193-221`; see train/prune.inject_noise_gaussians)."""
         from . import prune as prune_lib  # noqa: PLC0415
+        self._unshard()
         self.key, k = jax.random.split(self.key)
         self.state, self.opt_state, _ = prune_lib.inject_noise_gaussians(
             self.state, self.opt_state, k, self.scene.cameras_extent)
@@ -371,6 +398,7 @@ class Trainer:
         (`train.py:224-291`)."""
         from ..ops.render import render as render_fn  # noqa: PLC0415
         from . import prune as prune_lib  # noqa: PLC0415
+        self._unshard()
 
         def rfn(cam, state):
             out = render_fn(cam, state, self.bg,

@@ -23,6 +23,20 @@ from ..core.cameras import Camera
 from ..ops.render import render as render_fn
 
 
+def _single_device(state):
+    """Gather a (possibly mesh-sharded) GaussianState onto the default
+    device: the per-view GUI render is written for unsharded state, and an
+    interactive poll shouldn't lean on implicit GSPMD resharding of a
+    multi-device pytree."""
+    import jax
+
+    leaves = jax.tree.leaves(state)
+    if not any(getattr(x, "sharding", None) is not None
+               and len(x.sharding.device_set) > 1 for x in leaves):
+        return state
+    return jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), state)
+
+
 def _decode_camera(message) -> Camera | None:
     width = message["resolution_x"]
     height = message["resolution_y"]
@@ -97,6 +111,7 @@ class NetworkGUI:
                 scaling_mod = float(message.get("scaling_modifier", 1.0))
                 image_bytes = None
                 if cam is not None:
+                    state = _single_device(state)
                     out = render_fn(cam, state, jnp.asarray(bg),
                                     scaling_modifier=scaling_mod)
                     img = np.asarray(
