@@ -56,19 +56,47 @@ def load_state_dict(path_or_dict) -> dict:
             for k, v in sd.items()}
 
 
+def strip_prefix(sd: Mapping, prefix: str) -> dict:
+    """Keep only keys under `prefix`, with the prefix removed.
+
+    DepthAnythingV2 checkpoints store the DINOv2 backbone under
+    `pretrained.` and the DPT head under `depth_head.`
+    (`/root/reference/README.md:61-75` invocation); ZoeDepth stores the
+    MiDaS backbone under `core.core.` (`zoedepth/models/model_io.py`)."""
+    return {k[len(prefix):]: v for k, v in sd.items()
+            if k.startswith(prefix)}
+
+
+def detect_backbone_prefix(sd: Mapping) -> str:
+    """Find the ViT-backbone key prefix inside a composite checkpoint."""
+    for prefix in ("", "pretrained.", "core.core.pretrained.model.",
+                   "core.core."):
+        if prefix + "patch_embed.proj.weight" in sd:
+            return prefix
+    raise KeyError("no ViT patch_embed found under known prefixes")
+
+
 def infer_vit_geometry(sd: Mapping) -> dict:
-    """(embed_dim, depth, num_heads, patch_size, mlp_ratio) from shapes."""
+    """(embed_dim, depth, num_heads, patch_size, mlp_ratio) plus the
+    DINOv2 feature flags (cls/register tokens, layerscale, final norm),
+    all inferred from tensor shapes and key presence."""
     pw = _np(sd["patch_embed.proj.weight"])  # (E, 3, p, p)
     embed_dim, _, patch, _ = pw.shape
     depth = 1 + max(int(k.split(".")[1]) for k in sd
                     if k.startswith("blocks."))
     fc1 = _np(sd["blocks.0.mlp.fc1.weight"])
     mlp_ratio = fc1.shape[0] // embed_dim
+    regs = (_np(sd["register_tokens"]).shape[1]
+            if "register_tokens" in sd else 0)
     # heads are not recoverable from shapes; default to dim//64 (every
     # MiDaS/DAv2/DINOv2 ViT uses 64-dim heads).
     return dict(embed_dim=int(embed_dim), depth=int(depth),
                 num_heads=max(int(embed_dim // 64), 1),
-                patch_size=int(patch), mlp_ratio=int(mlp_ratio))
+                patch_size=int(patch), mlp_ratio=int(mlp_ratio),
+                use_cls_token="cls_token" in sd,
+                num_register_tokens=int(regs),
+                layerscale="blocks.0.ls1.gamma" in sd,
+                final_norm="norm.weight" in sd)
 
 
 def resample_pos_embed(pos: np.ndarray, target_grid, drop_cls: bool = True
@@ -102,8 +130,17 @@ def convert_vit_state_dict(sd: Mapping, target_grid=(24, 24),
     `ViTEncoder(...).apply({"params": params}, x)` with the geometry's
     embed_dim/depth/num_heads/patch_size (and `exact_gelu=True`).
     `num_heads` overrides the dim//64 inference for non-standard models
-    (head count is not recoverable from tensor shapes)."""
+    (head count is not recoverable from tensor shapes).
+
+    Handles both timm-style ViTs (MiDaS) and DINOv2/DepthAnythingV2
+    state dicts: a `pretrained.` (DAv2) backbone prefix is stripped, the
+    class token keeps its own positional row, register tokens transfer
+    verbatim, per-block LayerScale gammas map to the `ls{1,2}_{i}`
+    multipliers, and the final `norm` maps to the shared tap LayerNorm."""
     sd = {k: _np(v) for k, v in sd.items()}
+    prefix = detect_backbone_prefix(sd)
+    if prefix:
+        sd = strip_prefix(sd, prefix)
     geo = infer_vit_geometry(sd)
     if num_heads is not None:
         geo["num_heads"] = int(num_heads)
@@ -121,6 +158,19 @@ def convert_vit_state_dict(sd: Mapping, target_grid=(24, 24),
     table = np.zeros((1, pos_table_rows, e), np.float32)
     table[0, :pos.shape[0]] = pos
     params["pos_embed"] = table
+    if geo["use_cls_token"]:
+        params["cls_token"] = sd["cls_token"].reshape(1, 1, e)
+        raw_pos = _np(sd["pos_embed"])[0]
+        has_cls_pos = int(np.sqrt(raw_pos.shape[0])) ** 2 != raw_pos.shape[0]
+        params["cls_pos_embed"] = (
+            raw_pos[:1].reshape(1, 1, e) if has_cls_pos
+            else np.zeros((1, 1, e), np.float32))
+    if geo["num_register_tokens"]:
+        params["register_tokens"] = sd["register_tokens"].reshape(
+            1, geo["num_register_tokens"], e)
+    if geo["final_norm"]:
+        params["final_norm"] = {"scale": sd["norm.weight"],
+                                "bias": sd["norm.bias"]}
 
     def lin(w, b):  # torch (out, in) -> flax kernel (in, out)
         return {"kernel": w.T.astype(np.float32),
@@ -128,6 +178,9 @@ def convert_vit_state_dict(sd: Mapping, target_grid=(24, 24),
 
     for i in range(geo["depth"]):
         pre = f"blocks.{i}."
+        if geo["layerscale"]:
+            params[f"ls1_{i}"] = sd[pre + "ls1.gamma"]
+            params[f"ls2_{i}"] = sd[pre + "ls2.gamma"]
         params[f"LayerNorm_{2 * i}"] = {
             "scale": sd[pre + "norm1.weight"],
             "bias": sd[pre + "norm1.bias"]}

@@ -38,6 +38,19 @@ class ViTEncoder(nn.Module):
     # (depth/import_torch.py) so activations match bit-for-bit-ish.
     exact_gelu: bool = False
     pos_rows: int = 4096  # positional-table capacity (max patches)
+    # DINOv2/DepthAnythingV2 geometry (`dinov2/models/vision_transformer.py`
+    # via the reference's DAv2 recipe, README.md:56-75): a class token with
+    # its own positional embedding, optional register tokens (appended
+    # AFTER the positional add, exactly as DINOv2 does), per-block
+    # LayerScale multipliers, and the final LayerNorm applied to every
+    # feature tap (get_intermediate_layers(norm=True) semantics).
+    use_cls_token: bool = False
+    num_register_tokens: int = 0
+    layerscale: bool = False
+    final_norm: bool = False
+    # torch nn.LayerNorm eps (flax default is 1e-6); imported torch
+    # weights are only activation-exact with the torch epsilon.
+    ln_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
@@ -52,20 +65,51 @@ class ViTEncoder(nn.Module):
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
                          (1, self.pos_rows, self.embed_dim))
         tok = tok + pos[:, :gh * gw]
+        n_extra = 0
+        if self.use_cls_token:
+            cls = self.param("cls_token", nn.initializers.normal(0.02),
+                             (1, 1, self.embed_dim))
+            cls_pos = self.param("cls_pos_embed", nn.initializers.zeros,
+                                 (1, 1, self.embed_dim))
+            tok = jnp.concatenate(
+                [jnp.tile(cls + cls_pos, (b, 1, 1)), tok], axis=1)
+            n_extra += 1
+        if self.num_register_tokens:
+            reg = self.param("register_tokens",
+                             nn.initializers.normal(0.02),
+                             (1, self.num_register_tokens, self.embed_dim))
+            # registers sit between cls and patches, positional-free
+            tok = jnp.concatenate(
+                [tok[:, :n_extra], jnp.tile(reg, (b, 1, 1)),
+                 tok[:, n_extra:]], axis=1)
+            n_extra += self.num_register_tokens
         heads = self.num_heads or max(self.embed_dim // 64, 1)
+        norm_out = (nn.LayerNorm(epsilon=self.ln_eps, name="final_norm")
+                    if self.final_norm else (lambda z: z))
+
+        def spatial(z):
+            return norm_out(z[:, n_extra:]).reshape(b, gh, gw,
+                                                    self.embed_dim)
+
         feats = []
         for i in range(self.depth):
-            y = nn.LayerNorm()(tok)
+            y = nn.LayerNorm(epsilon=self.ln_eps)(tok)
             y = nn.SelfAttention(num_heads=heads)(y)
+            if self.layerscale:
+                y = y * self.param(f"ls1_{i}", nn.initializers.ones,
+                                   (self.embed_dim,))
             tok = tok + y
-            y = nn.LayerNorm()(tok)
+            y = nn.LayerNorm(epsilon=self.ln_eps)(tok)
             y = nn.Dense(4 * self.embed_dim)(y)
             y = nn.gelu(y, approximate=not self.exact_gelu)
             y = nn.Dense(self.embed_dim)(y)
+            if self.layerscale:
+                y = y * self.param(f"ls2_{i}", nn.initializers.ones,
+                                   (self.embed_dim,))
             tok = tok + y
             if i in self.taps:
-                feats.append(tok.reshape(b, gh, gw, self.embed_dim))
-        feats.append(tok.reshape(b, gh, gw, self.embed_dim))
+                feats.append(spatial(tok))
+        feats.append(spatial(tok))
         return feats  # low→high depth
 
 

@@ -115,3 +115,90 @@ def test_graft_validates_shapes():
                      "bias": np.zeros((32,), np.float32)}
     with pytest.raises(ValueError):
         it.graft_encoder_params(tree, bad)
+
+
+class TinyTorchDinoV2(tnn.Module):
+    """Minimal DINOv2-style ViT in the DepthAnythingV2 naming scheme:
+    cls token (own positional row), register tokens (inserted after the
+    positional add), per-block LayerScale (ls1/ls2.gamma), final norm
+    applied to every tap (get_intermediate_layers(norm=True))."""
+
+    def __init__(self, e=32, depth=2, heads=2, patch=8, grid=4, regs=2):
+        super().__init__()
+        self.e, self.heads, self.patch, self.regs = e, heads, patch, regs
+        self.patch_embed = tnn.Module()
+        self.patch_embed.proj = tnn.Conv2d(3, e, patch, stride=patch)
+        self.cls_token = tnn.Parameter(torch.randn(1, 1, e) * 0.02)
+        self.register_tokens = tnn.Parameter(torch.randn(1, regs, e) * 0.02)
+        self.pos_embed = tnn.Parameter(
+            torch.randn(1, 1 + grid * grid, e) * 0.02)
+        self.blocks = tnn.ModuleList()
+        for _ in range(depth):
+            b = tnn.Module()
+            b.norm1 = tnn.LayerNorm(e)
+            b.attn = tnn.Module()
+            b.attn.qkv = tnn.Linear(e, 3 * e)
+            b.attn.proj = tnn.Linear(e, e)
+            b.ls1 = tnn.Module()
+            b.ls1.gamma = tnn.Parameter(torch.rand(e) * 0.5 + 0.5)
+            b.norm2 = tnn.LayerNorm(e)
+            b.mlp = tnn.Module()
+            b.mlp.fc1 = tnn.Linear(e, 4 * e)
+            b.mlp.fc2 = tnn.Linear(4 * e, e)
+            b.ls2 = tnn.Module()
+            b.ls2.gamma = tnn.Parameter(torch.rand(e) * 0.5 + 0.5)
+            self.blocks.append(b)
+        self.norm = tnn.LayerNorm(e)
+
+    def forward(self, x):  # returns per-tap NORMED spatial tokens
+        b = x.shape[0]
+        tok = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+        tok = torch.cat([self.cls_token.expand(b, -1, -1), tok], dim=1)
+        tok = tok + self.pos_embed
+        tok = torch.cat([tok[:, :1], self.register_tokens.expand(b, -1, -1),
+                         tok[:, 1:]], dim=1)
+        hd = self.e // self.heads
+        taps = []
+        for blk in self.blocks:
+            y = blk.norm1(tok)
+            qkv = blk.attn.qkv(y).reshape(b, -1, 3, self.heads, hd)
+            q, k, v = qkv.unbind(2)
+            att = torch.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(hd)
+            y = torch.einsum("bhnm,bmhd->bnhd", att.softmax(-1), v)
+            tok = tok + blk.attn.proj(y.reshape(b, -1, self.e)) \
+                * blk.ls1.gamma
+            y = blk.norm2(tok)
+            y = blk.mlp.fc2(tnn.functional.gelu(blk.mlp.fc1(y)))
+            tok = tok + y * blk.ls2.gamma
+            taps.append(self.norm(tok)[:, 1 + self.regs:])
+        return taps
+
+
+@pytest.mark.parametrize("prefix", ["", "pretrained."])
+def test_dinov2_dav2_roundtrip_matches(prefix):
+    """A DAv2-vitl-SHAPED state dict (DINOv2 naming, optional `pretrained.`
+    backbone prefix as in full DepthAnythingV2 checkpoints) imports into
+    the flax encoder with matching activations (VERDICT r03 #4)."""
+    torch.manual_seed(3)
+    model = TinyTorchDinoV2().eval()
+    sd = {prefix + k: v for k, v in model.state_dict().items()}
+
+    params, geo = it.convert_vit_state_dict(sd, target_grid=(4, 4),
+                                            pos_table_rows=64, num_heads=2)
+    assert geo["use_cls_token"] and geo["layerscale"] and geo["final_norm"]
+    assert geo["num_register_tokens"] == 2
+    enc = ViTEncoder(embed_dim=32, depth=2, num_heads=2, patch_size=8,
+                     taps=(0,), exact_gelu=True, pos_rows=64,
+                     use_cls_token=True, num_register_tokens=2,
+                     layerscale=True, final_norm=True)
+
+    x = np.random.RandomState(5).rand(1, 32, 32, 3).astype(np.float32)
+    import jax.numpy as jnp
+    feats = enc.apply({"params": params}, jnp.asarray(x))
+    with torch.no_grad():
+        want = model(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    assert len(feats) == len(want)
+    for got_f, want_f in zip(feats, want):
+        np.testing.assert_allclose(
+            np.asarray(got_f).reshape(1, -1, 32), want_f.numpy(),
+            atol=1e-4, rtol=2e-4)
