@@ -209,6 +209,51 @@ def convert_vit_state_dict(sd: Mapping, target_grid=(24, 24),
     return params, geo
 
 
+def convert_zoedepth_head_state_dict(sd: Mapping) -> tuple[dict, dict]:
+    """torch ZoeDepth metric-head state dict → flax `MetricBinsHead` params.
+
+    Maps the reference head modules (`zoedepth_v1.py:105-122`: `conv2`,
+    `seed_bin_regressor`, `seed_projector`, `projectors.{i}`,
+    `attractors.{i}`, `conditional_log_binomial` — each a Conv/act/Conv
+    `_net`/`mlp` Sequential) onto the identically-named flax submodules of
+    `depth.model.MetricBinsHead`. Accepts a full-model state dict (head
+    keys at the top level, like `model_io.load_state_dict` output) or a
+    pre-filtered head dict. Returns `(params, geometry)` where geometry
+    carries n_bins / bin_embedding_dim / attractors recovered from shapes.
+    """
+    sd = {k: _np(v) for k, v in sd.items()}
+
+    def conv(prefix: str) -> dict:
+        return {"kernel": sd[prefix + ".weight"].transpose(2, 3, 1, 0)
+                .astype(np.float32),
+                "bias": sd[prefix + ".bias"].astype(np.float32)}
+
+    def net(prefix: str) -> dict:
+        return {"Conv_0": conv(prefix + ".0"), "Conv_1": conv(prefix + ".2")}
+
+    params = {
+        "conv2": conv("conv2"),
+        "seed_bin_regressor": net("seed_bin_regressor._net"),
+        "seed_projector": net("seed_projector._net"),
+        "conditional_log_binomial": net("conditional_log_binomial.mlp"),
+    }
+    n_levels = 1 + max(int(k.split(".")[1]) for k in sd
+                       if k.startswith("projectors."))
+    attractors = []
+    for i in range(n_levels):
+        params[f"projector_{i}"] = net(f"projectors.{i}._net")
+        params[f"attractor_{i}"] = net(f"attractors.{i}._net")
+        attractors.append(int(sd[f"attractors.{i}._net.2.weight"].shape[0]))
+    geo = dict(
+        n_bins=int(sd["seed_bin_regressor._net.2.weight"].shape[0]),
+        bin_embedding_dim=int(sd["seed_projector._net.2.weight"].shape[0]),
+        btlnck_features=int(sd["conv2.weight"].shape[0]),
+        attractors=tuple(attractors),
+    )
+    import jax  # noqa: PLC0415
+    return jax.tree.map(lambda x: np.asarray(x, np.float32), params), geo
+
+
 def graft_encoder_params(model_params: dict, vit_params: dict,
                          scope: str = "ViTEncoder_0") -> dict:
     """Replace the encoder subtree of a full DepthModel(NK) param tree.

@@ -21,8 +21,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import (AttractorLayer, ConditionalLogBinomial,
-                     PatchTransformerEncoder, Projector, SeedBinRegressor)
+from .layers import (AttractorLayer, AttractorLayerUnnormed,
+                     ConditionalLogBinomial, PatchTransformerEncoder,
+                     Projector, SeedBinRegressor, SeedBinRegressorUnnormed,
+                     resize_align_corners)
 
 
 class ViTEncoder(nn.Module):
@@ -142,39 +144,71 @@ class DPTDecoder(nn.Module):
 
 
 class MetricBinsHead(nn.Module):
-    """Seed bins → per-level attractor refinement → log-binomial → depth
-    (`zoedepth_v1.py:124-202`)."""
+    """Seed bins → per-level attractor refinement → log-binomial → depth,
+    mirroring the torch ZoeDepth head dataflow exactly
+    (`zoedepth_v1.py:124-202`): a bottleneck 1×1 conv, a seed projector
+    feeding a `prev_b_embedding` chain through the attractors, and the
+    relative-depth map concatenated onto the finest features before the
+    conditional log-binomial. Submodules carry the torch module names so
+    `depth/import_torch.convert_zoedepth_head_state_dict` maps onto them."""
 
     n_bins: int = 16
     bin_embedding_dim: int = 128
     min_depth: float = 1e-3
     max_depth: float = 10.0
     attractors: Sequence[int] = (16, 8, 4, 1)
+    # reference config_zoedepth.json:5-15 defaults
+    bin_centers_type: str = "softplus"
+    attractor_alpha: float = 1000.0
+    attractor_gamma: int = 2
+    attractor_kind: str = "mean"
+    attractor_type: str = "inv"
+    min_temp: float = 0.0212
+    max_temp: float = 50.0
+    btlnck_features: int = 0  # 0 = same as the bottleneck tap's channels
 
     @nn.compact
-    def __call__(self, taps):
-        # taps: coarsest→finest feature maps (B, h, w, C).
-        bottleneck = taps[0]
-        x = nn.Conv(self.bin_embedding_dim, (1, 1))(bottleneck)
-        _, centers = SeedBinRegressor(
+    def __call__(self, taps, rel_depth=None):
+        # taps: [bottleneck(coarsest), level blocks..., last(finest)],
+        # each (B, h, w, C); rel_depth: (B, H, W) relative-depth map.
+        btlnck = taps[0]
+        c = self.btlnck_features or btlnck.shape[-1]
+        x = nn.Conv(c, (1, 1), name="conv2")(btlnck)
+        normed = self.bin_centers_type == "normed"
+        seed_cls = SeedBinRegressor if normed else SeedBinRegressorUnnormed
+        _, seed_centers = seed_cls(
             n_bins=self.n_bins, min_depth=self.min_depth,
-            max_depth=self.max_depth)(x)
+            max_depth=self.max_depth, name="seed_bin_regressor")(x)
+        b_prev = ((seed_centers - self.min_depth)
+                  / (self.max_depth - self.min_depth)
+                  if normed else seed_centers)
+        prev_emb = Projector(out_features=self.bin_embedding_dim,
+                             name="seed_projector")(x)
+        att_cls = AttractorLayer if normed else AttractorLayerUnnormed
+        centers = seed_centers
         for level, feat in enumerate(taps[1:len(self.attractors) + 1]):
-            proj = Projector(out_features=self.bin_embedding_dim)(feat)
-            centers = jax.image.resize(
-                centers, proj.shape[:3] + (self.n_bins,), method="bilinear")
-            centers = AttractorLayer(
+            emb = Projector(out_features=self.bin_embedding_dim,
+                            name=f"projector_{level}")(feat)
+            b_prev, centers = att_cls(
                 n_bins=self.n_bins,
                 n_attractors=self.attractors[level],
-                min_depth=self.min_depth, max_depth=self.max_depth)(
-                    proj, centers)
+                alpha=self.attractor_alpha, gamma=self.attractor_gamma,
+                kind=self.attractor_kind,
+                attractor_type=self.attractor_type,
+                min_depth=self.min_depth, max_depth=self.max_depth,
+                name=f"attractor_{level}")(emb, b_prev, prev_emb)
+            prev_emb = emb
         last = taps[-1]
-        cond = Projector(out_features=self.bin_embedding_dim)(last)
-        centers = jax.image.resize(
-            centers, cond.shape[:3] + (self.n_bins,), method="bilinear")
+        if rel_depth is not None:
+            rel = resize_align_corners(rel_depth[..., None],
+                                       last.shape[1:3])
+            last = jnp.concatenate([last, rel], axis=-1)
+        cond = resize_align_corners(prev_emb, last.shape[1:3])
         probs = ConditionalLogBinomial(
-            n_bins=self.n_bins, cond_dim=self.bin_embedding_dim)(
-                nn.Conv(self.bin_embedding_dim, (1, 1))(last), cond)
+            n_bins=self.n_bins, min_temp=self.min_temp,
+            max_temp=self.max_temp,
+            name="conditional_log_binomial")(last, cond)
+        centers = resize_align_corners(centers, probs.shape[1:3])
         depth = jnp.sum(probs * centers, axis=-1)  # (B, h, w)
         return depth, probs, centers
 
@@ -196,7 +230,7 @@ class DepthModel(nn.Module):
         rel_depth, taps = DPTDecoder()(feats, x.shape[1:3])
         depth, probs, centers = MetricBinsHead(
             n_bins=self.n_bins, min_depth=self.min_depth,
-            max_depth=self.max_depth)(taps)
+            max_depth=self.max_depth)(taps, rel_depth)
         depth = jax.image.resize(depth, x.shape[:3], method="bilinear")
         return {"metric_depth": depth, "rel_depth": rel_depth,
                 "probs": probs, "bin_centers": centers}
@@ -227,7 +261,8 @@ class DepthModelNK(nn.Module):
         for cfg in self.configs:
             d, _, _ = MetricBinsHead(
                 n_bins=self.n_bins, min_depth=cfg["min_depth"],
-                max_depth=cfg["max_depth"], name=f"head_{cfg['name']}")(taps)
+                max_depth=cfg["max_depth"],
+                name=f"head_{cfg['name']}")(taps, rel_depth)
             depths.append(jax.image.resize(d, x.shape[:3],
                                            method="bilinear"))
         stacked = jnp.stack(depths, axis=-1)  # (B, H, W, 2)

@@ -202,3 +202,118 @@ def test_dinov2_dav2_roundtrip_matches(prefix):
         np.testing.assert_allclose(
             np.asarray(got_f).reshape(1, -1, 32), want_f.numpy(),
             atol=1e-4, rtol=2e-4)
+
+
+class TinyTorchZoeHead(tnn.Module):
+    """Minimal torch ZoeDepth metric head in the reference naming scheme
+    (`zoedepth_v1.py:105-202`): conv2 bottleneck, unnormed seed bins
+    (softplus config), seed projector + prev_b_embedding chain, inverse
+    mean attractors (alpha=1000), rel-depth-conditioned log-binomial."""
+
+    def __init__(self, btlnck=16, emb=16, n_bins=8, attractors=(4, 2),
+                 level_ch=(12, 10), last_ch=6,
+                 min_temp=0.0212, max_temp=50.0):
+        super().__init__()
+        self.n_bins, self.min_temp, self.max_temp = n_bins, min_temp, max_temp
+        seq = lambda i, m, o, act: tnn.Sequential(
+            tnn.Conv2d(i, m, 1), tnn.ReLU(), tnn.Conv2d(m, o, 1), act)
+        self.conv2 = tnn.Conv2d(btlnck, btlnck, 1)
+        self.seed_bin_regressor = tnn.Module()
+        self.seed_bin_regressor._net = seq(btlnck, 256, n_bins,
+                                           tnn.Softplus())
+        self.seed_projector = tnn.Module()
+        self.seed_projector._net = tnn.Sequential(
+            tnn.Conv2d(btlnck, 128, 1), tnn.ReLU(), tnn.Conv2d(128, emb, 1))
+        self.projectors = tnn.ModuleList()
+        self.attractors = tnn.ModuleList()
+        for c, a in zip(level_ch, attractors):
+            p = tnn.Module()
+            p._net = tnn.Sequential(tnn.Conv2d(c, 128, 1), tnn.ReLU(),
+                                    tnn.Conv2d(128, emb, 1))
+            self.projectors.append(p)
+            m = tnn.Module()
+            m._net = seq(emb, 128, a, tnn.Softplus())
+            self.attractors.append(m)
+        self.conditional_log_binomial = tnn.Module()
+        clb_in = last_ch + 1 + emb
+        self.conditional_log_binomial.mlp = tnn.Sequential(
+            tnn.Conv2d(clb_in, clb_in // 2, 1), tnn.GELU(),
+            tnn.Conv2d(clb_in // 2, 4, 1), tnn.Softplus())
+
+    def forward(self, taps, rel_depth):
+        # taps: [btlnck, level blocks..., last] NCHW; rel_depth (B, H, W)
+        F = tnn.functional
+        up = lambda z, hw: F.interpolate(z, hw, mode="bilinear",
+                                         align_corners=True)
+        x = self.conv2(taps[0])
+        b_prev = self.seed_bin_regressor._net(x)
+        prev_emb = self.seed_projector._net(x)
+        for proj, att, blk in zip(self.projectors, self.attractors,
+                                  taps[1:-1]):
+            emb = proj._net(blk)
+            a = att._net(emb + up(prev_emb, emb.shape[-2:]))
+            b_centers = up(b_prev, emb.shape[-2:])
+            dx = a.unsqueeze(2) - b_centers.unsqueeze(1)
+            delta = (dx / (1 + 1000.0 * dx.pow(2))).mean(dim=1)
+            b_prev = b_centers + delta
+            prev_emb = emb
+        last = taps[-1]
+        rel = up(rel_depth.unsqueeze(1), last.shape[-2:])
+        last = torch.cat([last, rel], dim=1)
+        pt = self.conditional_log_binomial.mlp(
+            torch.cat([last, up(prev_emb, last.shape[-2:])], dim=1))
+        p, t = pt[:, :2] + 1e-4, pt[:, 2:] + 1e-4
+        p = p[:, 0] / (p[:, 0] + p[:, 1])
+        t = t[:, 0] / (t[:, 0] + t[:, 1])
+        t = ((self.max_temp - self.min_temp) * t + self.min_temp).unsqueeze(1)
+        K = self.n_bins
+        k_idx = torch.arange(K).view(1, -1, 1, 1).float()
+        n = torch.tensor(K - 1.0)
+        eps = 1e-7
+        lb = ((n + eps) * torch.log(n + eps)
+              - (k_idx + eps) * torch.log(k_idx + eps)
+              - (n - k_idx) * torch.log(n - k_idx + eps))
+        xp = p.unsqueeze(1)
+        y = (lb + k_idx * torch.log(xp.clamp(1e-4, 1))
+             + (K - 1 - k_idx) * torch.log((1 - xp).clamp(1e-4, 1)))
+        probs = torch.softmax(y / t, dim=1)
+        centers = up(b_prev, probs.shape[-2:])
+        return (probs * centers).sum(dim=1), probs, centers
+
+
+def test_zoedepth_head_roundtrip_matches():
+    """A fabricated torch ZoeDepth head state dict imports into the flax
+    MetricBinsHead with matching depth/probs/centers (VERDICT r03 #4;
+    reference `zoedepth/models/model_io.py:27-91` is the torch-side
+    loader this replaces)."""
+    import jax
+    import jax.numpy as jnp
+    from priordepth_gaussiansplatting_tpu.depth.model import MetricBinsHead
+
+    torch.manual_seed(7)
+    head = TinyTorchZoeHead().eval()
+    params, geo = it.convert_zoedepth_head_state_dict(head.state_dict())
+    assert geo == {"n_bins": 8, "bin_embedding_dim": 16,
+                   "btlnck_features": 16, "attractors": (4, 2)}
+
+    rng = np.random.RandomState(11)
+    taps_t = [torch.from_numpy(rng.rand(1, c, s, s).astype(np.float32))
+              for c, s in ((16, 4), (12, 4), (10, 8), (6, 16))]
+    rel_t = torch.from_numpy(rng.rand(1, 32, 32).astype(np.float32))
+    with torch.no_grad():
+        want_d, want_p, want_c = head(taps_t, rel_t)
+
+    flax_head = MetricBinsHead(n_bins=8, bin_embedding_dim=16,
+                               attractors=(4, 2), btlnck_features=16)
+    taps_f = [jnp.asarray(t.numpy().transpose(0, 2, 3, 1)) for t in taps_t]
+    with jax.default_matmul_precision("highest"):
+        depth, probs, centers = flax_head.apply(
+            {"params": params}, taps_f, jnp.asarray(rel_t.numpy()))
+    np.testing.assert_allclose(np.asarray(depth), want_d.numpy(),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(probs), want_p.numpy().transpose(0, 2, 3, 1),
+        atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(centers), want_c.numpy().transpose(0, 2, 3, 1),
+        atol=2e-5, rtol=1e-4)
