@@ -90,6 +90,12 @@ def main(argv=None):
                     f"-s {src} -m {out} --eval --skip_train")
 
     if not args.skip_metrics:
+        from priordepth_gaussiansplatting_tpu.eval.metrics import have_lpips
+        if not have_lpips():
+            print("WARNING: LPIPS weights unavailable (set "
+                  "PDGS_LPIPS_WEIGHTS; see scripts/export_lpips_weights.py)"
+                  " — suite results will omit the LPIPS column.",
+                  flush=True)
         paths = " ".join(os.path.join(args.output_path, scene)
                          for _, scene, _, _ in groups)
         run(f"{sys.executable} metrics.py -m {paths}")

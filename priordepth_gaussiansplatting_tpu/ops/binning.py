@@ -637,14 +637,17 @@ def _expand_attrs_kernel_factory(grid_x: int, grid_y: int,
             [cmp[:, 1:], jnp.zeros((EXP_K, 1), jnp.float32)], axis=1)
         onehot = cmp - shifted                         # (K, W)
         # One-hot gather of (off_lo, pack, gid, attrs...), EXACT below
-        # HIGHEST's cost. Rows 0..7 (ints + f32 mean2d + conic) go through
-        # a three-bf16-limb split (top/mid/low 8 mantissa bits — the full
-        # f32 significand) contracted against the EXACTLY-representable
-        # one-hot at DEFAULT (1-pass bf16) precision: each partial product
-        # is exact, f32 accumulation is exact, so hi+mid+lo reconstructs
-        # the value bit-for-bit. Rows 8..15 are bf16-VALUED by the
-        # projection spec, so a single DEFAULT pass is already exact —
-        # 3x8 + 1x8 = 32 row-passes instead of 3x16 (and HIGHEST's 6x16).
+        # HIGHEST's cost: all 16 rows go through a three-bf16-limb split
+        # (top/mid/low 8 mantissa bits — the full f32 significand)
+        # contracted against the EXACTLY-representable one-hot at DEFAULT
+        # (1-pass bf16) precision. Each partial product is exact, f32
+        # accumulation is exact, so hi+mid+lo reconstructs every value
+        # bit-for-bit — 3x16 row-passes vs HIGHEST's 6x16. (Rows 8..15 are
+        # bf16-valued by the projection spec, so a 1-pass gather of just
+        # those rows would also be exact, but splitting the contraction
+        # into winf[0:8]/winf[8:16] operands measured ~0.3 Mray/s SLOWER:
+        # the sublane-sliced operands force copies that outweigh the saved
+        # MXU passes — see docs/PERF.md "Measured dead ends".)
         w_hi = winf.astype(jnp.bfloat16).astype(jnp.float32)
         w_mid_f = winf - w_hi
         w_mid = w_mid_f.astype(jnp.bfloat16).astype(jnp.float32)
@@ -723,12 +726,12 @@ def _expand_attrs_kernel_factory(grid_x: int, grid_y: int,
         pair_rows = (
             attrs[ATTR_MX:ATTR_MX + 1],
             attrs[ATTR_MY:ATTR_MY + 1],
-            _pack_bf16_pair(ca, cb),
-            _pack_bf16_pair(cc, op),
-            _pack_bf16_pair(attrs[ATTR_R:ATTR_R + 1],
-                            attrs[ATTR_G:ATTR_G + 1]),
-            _pack_bf16_pair(attrs[ATTR_B:ATTR_B + 1],
-                            attrs[ATTR_ID:ATTR_ID + 1]),
+            _round_pack_bf16_pair(ca, cb),
+            _round_pack_bf16_pair(cc, op),
+            _round_pack_bf16_pair(attrs[ATTR_R:ATTR_R + 1],
+                                  attrs[ATTR_G:ATTR_G + 1]),
+            _round_pack_bf16_pair(attrs[ATTR_B:ATTR_B + 1],
+                                  attrs[ATTR_ID:ATTR_ID + 1]),
         )
         for i in range(PAIR_ROWS):
             attr_refs[i][...] = pair_rows[i].reshape(kb, 128)
@@ -790,10 +793,10 @@ def _bin_sorted_core(spec, attrs10, depth_eff, pack_u, counts_u):
         (depth_eff, pack_u, counts_u,
          jnp.arange(n, dtype=jnp.int32),
          attrs10[ATTR_MX], attrs10[ATTR_MY],
-         _pack_bf16_pair(attrs10[ATTR_CA], attrs10[ATTR_CB]),
-         _pack_bf16_pair(attrs10[ATTR_CC], attrs10[ATTR_OP]),
-         _pack_bf16_pair(attrs10[ATTR_R], attrs10[ATTR_G]),
-         _pack_bf16_pair(attrs10[ATTR_B], attrs10[ATTR_ID])),
+         _round_pack_bf16_pair(attrs10[ATTR_CA], attrs10[ATTR_CB]),
+         _round_pack_bf16_pair(attrs10[ATTR_CC], attrs10[ATTR_OP]),
+         _round_pack_bf16_pair(attrs10[ATTR_R], attrs10[ATTR_G]),
+         _round_pack_bf16_pair(attrs10[ATTR_B], attrs10[ATTR_ID])),
         dimension=0, is_stable=True, num_keys=1)
     pack, counts, gid = srt[1], srt[2], srt[3]
     ca_d, cb_d = unpack_bf16_rows(srt[6])

@@ -76,7 +76,15 @@ def render(
             proj, bg_color, camera.width, camera.height)
 
     image = out["render"]
-    if use_trained_exp and camera.exposure_id >= 0:
+    # The traced exposure_idx leaf (when set) overrides the STATIC
+    # exposure_id so one compiled program serves every view — the DP batch
+    # path and eval_image both route through it (a static per-view id
+    # would recompile per camera).
+    if use_trained_exp and camera.exposure_idx is not None:
+        exposure = state.get_exposure(camera.exposure_idx)
+        image = jnp.einsum("ij,jhw->ihw", exposure[:3, :3], image) \
+            + exposure[:3, 3][:, None, None]
+    elif use_trained_exp and camera.exposure_id >= 0:
         exposure = state.get_exposure(camera.exposure_id)
         image = jnp.einsum("ij,jhw->ihw", exposure[:3, :3], image) \
             + exposure[:3, 3][:, None, None]

@@ -194,8 +194,17 @@ def eval_image(camera: Camera, state: GaussianState, bg: jnp.ndarray,
     Jitted and cached per (resolution, capacity): per-camera aux metadata
     (name/uid/reliability) is neutralised first so a full test-set sweep
     compiles ONCE instead of per view — an eager render costs a host↔TPU
-    round trip per op, which made full-set evals crawl."""
+    round trip per op, which made full-set evals crawl. The per-view
+    exposure index (static on Camera) is routed through the TRACED
+    `exposure_idx` leaf for the same reason: with train_test_exp sets each
+    view has a distinct exposure row, which would otherwise defeat the
+    compile-once goal."""
+    exposure_idx = camera.exposure_idx
+    if (use_trained_exp and exposure_idx is None
+            and camera.exposure_id >= 0):
+        exposure_idx = jnp.asarray(camera.exposure_id, jnp.int32)
     cam = dataclasses.replace(camera, image_name="", uid=0,
-                              depth_reliable=False)
+                              depth_reliable=False, exposure_id=-1,
+                              exposure_idx=exposure_idx)
     return _eval_render(cam, state, bg, antialiasing, use_trained_exp,
                         backend, pair_capacity)

@@ -135,3 +135,74 @@ def test_metrics_omits_lpips_without_weights(tmp_path):
     vals = list(out[str(tmp_path)].values())[0]
     assert "LPIPS" not in vals
     assert "PSNR" in vals and "SSIM" in vals
+
+
+def test_export_script_to_metrics_e2e(tmp_path, monkeypatch):
+    """The full weight-delivery path (VERDICT r03 #6): a torch-style LPIPS
+    checkpoint → scripts/export_lpips_weights.py → PDGS_LPIPS_WEIGHTS →
+    metrics.py emits the LPIPS key in results.json."""
+    import importlib.util
+    import json
+    import subprocess
+    import sys
+
+    import torch
+    from PIL import Image
+
+    spec = importlib.util.spec_from_file_location(
+        "export_lpips_weights",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "export_lpips_weights.py"))
+    exp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(exp)
+
+    # Fabricated torch state dicts in the torchvision/lpips naming schemes.
+    rng = np.random.RandomState(0)
+    vgg_sd, cin = {}, 3
+    chans = {0: 64, 2: 64, 5: 128, 7: 128, 10: 256, 12: 256, 14: 256,
+             17: 512, 19: 512, 21: 512, 24: 512, 26: 512, 28: 512}
+    for i in exp.VGG16_CONV_IDX:
+        cout = chans[i]
+        vgg_sd[f"{i}.weight"] = torch.from_numpy(
+            (rng.randn(cout, cin, 3, 3) * 0.05).astype(np.float32))
+        vgg_sd[f"{i}.bias"] = torch.zeros(cout)
+        cin = cout
+    lp_sd = {f"lin{k}.model.1.weight": torch.from_numpy(
+        np.abs(rng.randn(1, c, 1, 1)).astype(np.float32))
+        for k, c in enumerate(exp.LPIPS_HEAD_CHANNELS)}
+
+    npz = str(tmp_path / "lpips_vgg.npz")
+    torch.save(vgg_sd, str(tmp_path / "vgg.pth"))
+    torch.save(lp_sd, str(tmp_path / "lpips.pth"))
+    assert exp.main(npz, str(tmp_path / "vgg.pth"),
+                    str(tmp_path / "lpips.pth")) == 0
+
+    # Minimal rendered-model layout for metrics.py.
+    mdir = tmp_path / "model"
+    for sub in ("renders", "gt"):
+        d = mdir / "test" / "ours_1" / sub
+        d.mkdir(parents=True)
+        for n in range(2):
+            arr = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"{n:05d}.png")
+
+    env = dict(os.environ, PDGS_LPIPS_WEIGHTS=npz, JAX_PLATFORMS="cpu")
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    r = subprocess.run([sys.executable, "metrics.py", "-m", str(mdir)],
+                       cwd=repo, env=env, capture_output=True, text=True,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    results = json.loads((mdir / "results.json").read_text())
+    method = results["ours_1"]
+    assert "LPIPS" in method and np.isfinite(method["LPIPS"])
+    assert "WARNING" not in r.stdout
+
+    # Without weights, the omission warning is prominent and LPIPS absent.
+    env.pop("PDGS_LPIPS_WEIGHTS")
+    r2 = subprocess.run([sys.executable, "metrics.py", "-m", str(mdir)],
+                        cwd=repo, env=env, capture_output=True, text=True,
+                        timeout=600)
+    assert r2.returncode == 0
+    assert "LPIPS omitted" in r2.stdout
+    results2 = json.loads((mdir / "results.json").read_text())
+    assert "LPIPS" not in results2["ours_1"]

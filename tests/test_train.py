@@ -229,3 +229,40 @@ def test_metrics_logger_images_and_histograms(tmp_path):
     assert abs(h["mean"] - 0.75) < 1e-6
     imgs = [e for e in events if "image" in e]
     assert len(imgs) == 1
+
+
+def test_eval_image_compiles_once_across_exposure_ids():
+    """With train_test_exp, every eval view has a distinct exposure row;
+    routing it through the traced exposure_idx leaf keeps eval_image at
+    ONE compiled program (r03 advisor finding) while still applying the
+    per-view exposure affine."""
+    import dataclasses
+
+    from priordepth_gaussiansplatting_tpu.models import gaussians as gm
+    from priordepth_gaussiansplatting_tpu.train import step as step_lib
+    from priordepth_gaussiansplatting_tpu.utils import testing as T
+
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-0.5, 0.5, (32, 3)).astype(np.float32)
+    cols = rng.rand(32, 3).astype(np.float32)
+    state = gm.create_from_points(pts, cols, num_images=3, capacity=64)
+    # distinct exposure rows so the applied affine differs per view
+    expo = np.tile(np.eye(3, 4, dtype=np.float32)[None], (3, 1, 1))
+    expo[1, :3, :3] *= 0.5
+    expo[2, :3, 3] = 0.25
+    state = dataclasses.replace(
+        state, params=state.params.replace(exposure=jnp.asarray(expo)))
+
+    cams = [dataclasses.replace(
+        T.look_at_camera((0, 0, -2.5), width=32, height=32, exposure_id=i),
+        image=jnp.zeros((3, 32, 32)), image_name=f"v{i}") for i in range(3)]
+    bg = jnp.zeros(3)
+    before = step_lib._eval_render._cache_size()
+    outs = [step_lib.eval_image(c, state, bg, use_trained_exp=True,
+                                backend="oracle") for c in cams]
+    added = step_lib._eval_render._cache_size() - before
+    assert added == 1, f"eval_image compiled {added} programs for 3 views"
+    # exposure rows actually differ in the rendered output
+    r0, r1, r2 = (np.asarray(o["render"]) for o in outs)
+    assert not np.allclose(r0, r1)
+    assert not np.allclose(r0, r2)
