@@ -26,17 +26,35 @@ def gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
-def _blur(x: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise separable same-padded Gaussian blur. x: (C, H, W).
+def _conv_2limb(x: jnp.ndarray, k: jnp.ndarray, pads, dn, groups: int
+                ) -> jnp.ndarray:
+    """f32-accurate depthwise conv from three DEFAULT (bf16-operand) passes.
 
-    HIGHEST precision is REQUIRED, not optional: on TPU the MXU truncates
-    conv operands to bf16 at DEFAULT precision, which puts ~2^-8-relative
-    error on blur(x^2) — and sigma^2 = blur(x^2) - mu^2 then goes negative
-    by up to ~5e-3, crossing the C2=9e-4 stabiliser so the SSIM
-    denominator flips sign and the map blows up to +/-inf on real frames
-    (the torch reference computes these convs in f32). HIGHEST restores
-    f32: the residual cancellation error ~1e-8 is far inside C2.
-    """
+    Full f32 precision is REQUIRED here, not optional: on TPU the MXU
+    truncates conv operands to bf16 at DEFAULT precision, which puts
+    ~2^-8-relative error on blur(x^2) — and sigma^2 = blur(x^2) - mu^2
+    then goes negative by up to ~5e-3, crossing the C2=9e-4 stabiliser so
+    the SSIM denominator flips sign and the map blows up to +/-inf on real
+    frames (the torch reference computes these convs in f32).
+
+    HIGHEST restores f32 but costs six MXU passes. Splitting BOTH operands
+    into bf16 hi/lo limbs and summing the three significant cross terms
+    (hi·hi + hi·lo + lo·hi; the dropped lo·lo term is ~2^-16 relative,
+    ~60× inside C2 after the sigma cancellation) is exact to ~1e-5 at half
+    HIGHEST's cost — the conv analog of rasterize_pallas._dot2."""
+    conv = lambda a, b: jax.lax.conv_general_dilated(
+        a, b, (1, 1), pads, dimension_numbers=dn,
+        feature_group_count=groups)
+    x_hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    x_lo = x - x_hi
+    k_hi = k.astype(jnp.bfloat16).astype(jnp.float32)
+    k_lo = k - k_hi
+    return conv(x_hi, k_hi) + conv(x_hi, k_lo) + conv(x_lo, k_hi)
+
+
+def _blur(x: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise separable same-padded Gaussian blur (2-limb f32 convs).
+    x: (C, H, W)."""
     c = x.shape[0]
     w = window.shape[0]
     x = x[None]  # (1, C, H, W)
@@ -45,12 +63,8 @@ def _blur(x: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape,
                                         ("NCHW", "OIHW", "NCHW"))
     pad = w // 2
-    x = jax.lax.conv_general_dilated(
-        x, kh, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn,
-        feature_group_count=c, precision=jax.lax.Precision.HIGHEST)
-    x = jax.lax.conv_general_dilated(
-        x, kw, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn,
-        feature_group_count=c, precision=jax.lax.Precision.HIGHEST)
+    x = _conv_2limb(x, kh, [(pad, pad), (0, 0)], dn, c)
+    x = _conv_2limb(x, kw, [(0, 0), (pad, pad)], dn, c)
     return x[0]
 
 
