@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""On-chip depth-stack training run (VERDICT r03 #7).
+
+The ~2.3 kLoC depth subsystem (flax ZoeDepth: ViT encoder, DPT decoder,
+metric-bins head, SILog+GradL1 trainer — reference
+`zoedepth/trainers/zoedepth_trainer.py:39-144`) had unit tests and a CPU
+learning e2e but zero on-hardware evidence. This driver raycasts a
+synthetic RGB-D dataset (the same scene generator as the splatting proof —
+true metric depth per pixel), trains DepthModel on the real chip, and
+records the SILog loss curve plus held-out eval metrics (a1/abs_rel/rmse,
+reference `zoedepth/utils/misc.py:159-246`) to docs/DEPTH_RUN_r04.{md,json}.
+
+Usage: python tools/depth_train_proof.py [steps] [size] [batch]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_rgbd(n_views: int, size: int):
+    """Raycast RGB + metric depth from the synthetic proof scene."""
+    import make_synthetic_scene as scn
+
+    imgs, depths = [], []
+    for i in range(n_views):
+        R, t = scn.camera_pose(i, n_views)
+        color, tbest, _ = scn.render_view(R, t, size, 0.82 * size)
+        imgs.append(color.astype(np.float32))
+        depths.append(tbest.astype(np.float32))  # inf for sky
+    return np.stack(imgs), np.stack(depths)
+
+
+def main(argv):
+    cpu = "--cpu" in argv
+    argv = [a for a in argv if a != "--cpu"]
+    steps = int(argv[0]) if argv else 400
+    size = int(argv[1]) if len(argv) > 1 else 128
+    batch = int(argv[2]) if len(argv) > 2 else 8
+
+    import jax
+    import jax.numpy as jnp
+
+    if cpu:  # the axon plugin ignores JAX_PLATFORMS env
+        jax.config.update("jax_platforms", "cpu")
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(REPO, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from priordepth_gaussiansplatting_tpu.depth import config as dcfg
+    from priordepth_gaussiansplatting_tpu.depth.metrics import compute_metrics
+    from priordepth_gaussiansplatting_tpu.depth.trainer import (
+        DepthTrainer, DepthTrainerConfig)
+
+    n_train, n_test = 40, 8
+    imgs, depths = make_rgbd(n_train + n_test, size)
+    max_depth = 8.0
+    masks = np.isfinite(depths) & (depths > 0.05) & (depths < max_depth)
+    depths = np.where(masks, depths, 1.0)
+    tr_img, te_img = imgs[:n_train], imgs[n_train:]
+    tr_d, te_d = depths[:n_train], depths[n_train:]
+    tr_m, te_m = masks[:n_train], masks[n_train:]
+    print(f"dataset: {n_train}+{n_test} views @{size}px, depth "
+          f"p5/p95 = {np.percentile(tr_d[tr_m], 5):.2f}/"
+          f"{np.percentile(tr_d[tr_m], 95):.2f} m", flush=True)
+
+    cfg = dcfg.get_config("depth", "train", "nyu", embed_dim=192,
+                          encoder_depth=6, n_bins=32, max_depth=max_depth)
+    model = dcfg.build_model(cfg)
+    tcfg = DepthTrainerConfig(steps_per_epoch=steps, epochs=1, lr=3e-4,
+                              max_depth=max_depth)
+    trainer = DepthTrainer(model, tcfg)
+    trainer.init(jnp.asarray(tr_img[:1]))
+    n_params = sum(int(np.prod(np.shape(x)))
+                   for x in jax.tree.leaves(trainer.params))
+    print(f"model: {n_params / 1e6:.1f}M params", flush=True)
+
+    rng = np.random.RandomState(0)
+    curve = []
+    t0 = time.time()
+    for s in range(steps):
+        idx = rng.choice(n_train, batch, replace=False)
+        loss = trainer.train_step(jnp.asarray(tr_img[idx]),
+                                  jnp.asarray(tr_d[idx]),
+                                  jnp.asarray(tr_m[idx]))
+        if s % 10 == 0 or s == steps - 1:
+            curve.append([s, round(float(loss), 4)])
+            if s % 50 == 0:
+                print(f"[{s}/{steps}] silog+grad loss {loss:.4f} "
+                      f"({time.time() - t0:.0f}s)", flush=True)
+    wall = time.time() - t0
+
+    # Held-out eval (hard metric depth, garg/eigen-free full mask).
+    pred = np.asarray(jax.jit(lambda x: model.apply(trainer.params, x)
+                              ["metric_depth"])(jnp.asarray(te_img)))
+    pred = np.clip(pred, tcfg.min_depth, max_depth)
+    m = compute_metrics(te_d[te_m], pred[te_m], crop=None)
+    m = {k: round(float(v), 4) for k, v in m.items()}
+    print("eval:", m, flush=True)
+
+    payload = {"steps": steps, "size": size, "batch": batch,
+               "wall_s": round(wall, 1),
+               "steps_per_s": round(steps / wall, 2),
+               "n_params": n_params, "loss_curve": curve, "eval": m,
+               "device": str(jax.devices()[0])}
+    os.makedirs(os.path.join(REPO, "docs"), exist_ok=True)
+    with open(os.path.join(REPO, "docs", "DEPTH_RUN_r04.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+    lines = [
+        "# Depth-stack training run — r04 (real TPU chip)",
+        "",
+        f"`DepthModel` ({n_params / 1e6:.1f}M params: ViT-{cfg.embed_dim} "
+        f"encoder ×{cfg.encoder_depth}, DPT decoder, {cfg.n_bins}-bin "
+        "metric head) trained with the SILog+GradL1 recipe "
+        "(`depth/trainer.py`, reference `zoedepth_trainer.py:39-104`) on a "
+        f"raycast synthetic RGB-D set ({n_train} train / {n_test} test "
+        f"views @{size}²). First on-hardware evidence for the depth "
+        "subsystem (VERDICT r03 #7).",
+        "",
+        f"* {steps} steps, batch {batch}: **{wall:.0f} s** "
+        f"({steps / wall:.2f} steps/s) on `{jax.devices()[0]}`",
+        f"* SILog+GradL1: **{curve[0][1]:.3f} → {curve[-1][1]:.3f}**",
+        f"* held-out metrics: a1 **{m.get('a1')}**, abs_rel "
+        f"**{m.get('abs_rel')}**, rmse **{m.get('rmse')}** "
+        "(reference metric names, `zoedepth/utils/misc.py:159-246`)",
+        "",
+        "| step | loss |", "|---|---|",
+    ]
+    lines += [f"| {s} | {v} |" for s, v in curve[:: max(1, len(curve) // 15)]]
+    with open(os.path.join(REPO, "docs", "DEPTH_RUN_r04.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps({k: v for k, v in payload.items()
+                      if k != "loss_curve"}))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
