@@ -82,7 +82,9 @@ def main(argv):
                           encoder_depth=6, n_bins=32, max_depth=max_depth)
     model = dcfg.build_model(cfg)
     tcfg = DepthTrainerConfig(steps_per_epoch=steps, epochs=1, lr=3e-4,
-                              max_depth=max_depth)
+                              max_depth=max_depth,
+                              log_dir=os.path.join(REPO, ".proofrun",
+                                                   "depth_logs"))
     trainer = DepthTrainer(model, tcfg)
     trainer.init(jnp.asarray(tr_img[:1]))
     n_params = sum(int(np.prod(np.shape(x)))
@@ -111,6 +113,10 @@ def main(argv):
     m = compute_metrics(te_d[te_m], pred[te_m], crop=None)
     m = {k: round(float(v), 4) for k, v in m.items()}
     print("eval:", m, flush=True)
+    # structured experiment sinks (the reference's wandb role,
+    # base_trainer.py:151-199): metric dict + colorized depth triplet
+    trainer.log_eval(m)
+    trainer.log_depth_images(te_img[:1], te_d[:1], pred[:1])
 
     payload = {"steps": steps, "size": size, "batch": batch,
                "wall_s": round(wall, 1),
