@@ -22,6 +22,8 @@ class MetricsLogger:
     def __init__(self, model_path: str):
         self.path = os.path.join(model_path, "events.jsonl") \
             if model_path else ""
+        if model_path:
+            os.makedirs(model_path, exist_ok=True)
         self._fh = open(self.path, "a") if self.path else None
         self._tb = None
         if model_path:
