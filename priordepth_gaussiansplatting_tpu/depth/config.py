@@ -23,7 +23,7 @@ class ConfigDict(dict):
 
 COMMON_CONFIG = dict(
     model="depth", min_depth=1e-3, max_depth=10.0, n_bins=16,
-    embed_dim=384, encoder_depth=6,
+    embed_dim=384, encoder_depth=6, bin_centers_type="softplus",
 )
 
 DATASETS_CONFIG: Dict[str, dict] = {
@@ -74,8 +74,12 @@ def build_model(config: ConfigDict):
     if config.model == "depth_nk":
         return DepthModelNK(n_bins=config.n_bins,
                             embed_dim=config.embed_dim,
-                            encoder_depth=config.encoder_depth)
+                            encoder_depth=config.encoder_depth,
+                            bin_centers_type=config.get(
+                                "bin_centers_type", "softplus"))
     return DepthModel(min_depth=config.min_depth,
                       max_depth=config.max_depth, n_bins=config.n_bins,
                       embed_dim=config.embed_dim,
-                      encoder_depth=config.encoder_depth)
+                      encoder_depth=config.encoder_depth,
+                      bin_centers_type=config.get(
+                          "bin_centers_type", "softplus"))

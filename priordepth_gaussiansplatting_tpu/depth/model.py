@@ -221,6 +221,10 @@ class DepthModel(nn.Module):
     n_bins: int = 16
     embed_dim: int = 384
     encoder_depth: int = 6
+    # reference `bin_centers_type` knob (config_zoedepth.json:7): "softplus"
+    # (unbounded, the shipped default) or "normed" (range-bounded — much
+    # faster to converge on short runs, centers span [min,max] from init)
+    bin_centers_type: str = "softplus"
 
     @nn.compact
     def __call__(self, x):
@@ -230,7 +234,8 @@ class DepthModel(nn.Module):
         rel_depth, taps = DPTDecoder()(feats, x.shape[1:3])
         depth, probs, centers = MetricBinsHead(
             n_bins=self.n_bins, min_depth=self.min_depth,
-            max_depth=self.max_depth)(taps, rel_depth)
+            max_depth=self.max_depth,
+            bin_centers_type=self.bin_centers_type)(taps, rel_depth)
         depth = jax.image.resize(depth, x.shape[:3], method="bilinear")
         return {"metric_depth": depth, "rel_depth": rel_depth,
                 "probs": probs, "bin_centers": centers}
@@ -248,6 +253,7 @@ class DepthModelNK(nn.Module):
     n_bins: int = 16
     embed_dim: int = 384
     encoder_depth: int = 6
+    bin_centers_type: str = "softplus"
 
     @nn.compact
     def __call__(self, x, hard_route: bool = False):
@@ -262,6 +268,7 @@ class DepthModelNK(nn.Module):
             d, _, _ = MetricBinsHead(
                 n_bins=self.n_bins, min_depth=cfg["min_depth"],
                 max_depth=cfg["max_depth"],
+                bin_centers_type=self.bin_centers_type,
                 name=f"head_{cfg['name']}")(taps, rel_depth)
             depths.append(jax.image.resize(d, x.shape[:3],
                                            method="bilinear"))

@@ -178,8 +178,13 @@ def test_depth_model_learns_and_generates_usable_priors(tmp_path):
     gts = jnp.asarray(np.concatenate([np.stack(depths)] * 2))
     masks = jnp.ones(gts.shape, bool)
 
+    # normed bin centers: the reference's "softplus" default starts all
+    # centers near softplus(0)≈0.7 m and needs thousands of steps to reach
+    # metre-scale depths; the range-normed variant (also a reference
+    # bin_centers_type) spans [min,max] from init, fitting this 220-step
+    # learning test.
     model = DepthModel(embed_dim=64, encoder_depth=2, n_bins=8,
-                       max_depth=8.0)
+                       max_depth=8.0, bin_centers_type="normed")
     tr = DepthTrainer(model, DepthTrainerConfig(lr=3e-4, epochs=1,
                                                 steps_per_epoch=220))
     tr.init(imgs[:1])
