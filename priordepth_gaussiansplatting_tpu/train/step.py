@@ -180,6 +180,10 @@ def _eval_render(camera: Camera, state: GaussianState, bg: jnp.ndarray,
                  pair_capacity=pair_capacity)
     img = out["render"]
     res = {"render": img}
+    if out.get("overflow") is not None:
+        # Surfaced so eval callers can warn: an overflowed render is
+        # missing pairs and its PSNR silently wrong otherwise.
+        res["overflow"] = out["overflow"]
     if camera.image is not None:
         res["psnr"] = losses.psnr(img, camera.image)
         res["l1"] = losses.l1_loss(img, camera.image)

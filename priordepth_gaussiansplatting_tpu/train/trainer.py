@@ -361,6 +361,11 @@ class Trainer:
                 if "psnr" in r:
                     psnrs.append(float(r["psnr"]))
                     l1s.append(float(r["l1"]))
+                ov = r.get("overflow")
+                if ov is not None and int(ov) > 0 and not self.quiet:
+                    print(f"[it {it}] WARNING: eval view {vi} overflowed "
+                          f"the pair capacity by {int(ov)} — its PSNR "
+                          "reads low", flush=True)
             if psnrs:
                 out[split] = {"psnr": float(np.mean(psnrs)),
                               "l1": float(np.mean(l1s))}

@@ -42,6 +42,10 @@ def render_set(model_path, name, iteration, cameras, state, bg, pipe,
         out = step_lib.eval_image(
             cam, state, bg, antialiasing=pipe.antialiasing,
             use_trained_exp=train_test_exp, backend=pipe.backend)
+        if out.get("overflow") is not None and int(out["overflow"]) > 0:
+            print(f"WARNING: view {idx} overflowed the pair capacity by "
+                  f"{int(out['overflow'])} — rendered image is missing "
+                  "splats; re-render with a larger capacity", flush=True)
         img = out["render"]
         gt = cam.image
         if train_test_exp:  # left half was used for exposure training
