@@ -181,6 +181,9 @@ def main(argv=None):
     def watchdog():
         while True:
             time.sleep(30)
+            if progress.get("done"):
+                return  # training finished; render/metrics have their own
+                        # subprocess timeouts and must not be shot mid-compile
             limit = (args.first_timeout if progress["first"]
                      else args.stall_timeout)
             if time.time() - progress["t"] > limit:
@@ -216,6 +219,7 @@ def main(argv=None):
         save_iterations=(7000, 30_000, args.iters),
         checkpoint_iterations=tuple(sorted(ckpt_iters)),
         on_iteration=on_it)
+    progress["done"] = True
     wall = prior_wall + (time.time() - t0)
 
     # steady-state iters/s from the last third of THIS process's stamps
