@@ -7,13 +7,14 @@ cd "$(dirname "$0")/.." || exit 1
 OUT=${OUT:-/root/repo/.proofrun}
 PIN=${PIN:-9437184}
 ITERS=${ITERS:-40500}
+GRAD=${GRAD:-0.00004}
 LOG=$OUT/supervisor.log
 mkdir -p "$OUT"
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 for attempt in $(seq 1 60); do
   echo "[supervisor] attempt $attempt pin=$PIN $(date)" >> "$LOG"
   timeout 21600 python tools/train_proof.py --out "$OUT" --iters "$ITERS" \
-    --pin_pairs "$PIN" >> "$OUT/train.log" 2>&1
+    --pin_pairs "$PIN" --grad_threshold "$GRAD" >> "$OUT/train.log" 2>&1
   rc=$?
   echo "[supervisor] exit $rc $(date)" >> "$LOG"
   if [ $rc -eq 0 ]; then
