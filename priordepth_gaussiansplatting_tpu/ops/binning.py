@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .projection import (TILE, ProjectedGaussians, tile_rect,
+from .projection import (TILE, ProjectedGaussians, round_bf16, tile_rect,
                          tile_rect_tight)
 
 # Rect packing: pack = tile_base * RECT_PACK + nx. Supports nx < 256 tiles
@@ -295,8 +295,7 @@ def _pack_bf16_pair(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
 
 def _round_pack_bf16_pair(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """RTNE-round two arbitrary f32 arrays to bf16 and bit-pack them."""
-    rnd = lambda x: x.astype(jnp.bfloat16).astype(jnp.float32)
-    return _pack_bf16_pair(rnd(a), rnd(b))
+    return _pack_bf16_pair(round_bf16(a), round_bf16(b))
 
 
 def unpack_bf16_rows(packed: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -474,7 +473,7 @@ def _segment_reduce_kernel(bounds_ref, d_hbm, gid_hbm, out_ref,
         # since the one-hot operand is exact, two DEFAULT-precision dots on
         # a hi/lo bf16 split of `d` recover f32 accuracy (~1e-7 rel) for
         # one extra cheap pass.
-        d_hi = d.astype(jnp.bfloat16).astype(jnp.float32)
+        d_hi = round_bf16(d)
         d_lo = d - d_hi
         dims = (((1,), (1,)), ((), ()))
         return (acc
@@ -648,9 +647,9 @@ def _expand_attrs_kernel_factory(grid_x: int, grid_y: int,
         # into winf[0:8]/winf[8:16] operands measured ~0.3 Mray/s SLOWER:
         # the sublane-sliced operands force copies that outweigh the saved
         # MXU passes — see docs/PERF.md "Measured dead ends".)
-        w_hi = winf.astype(jnp.bfloat16).astype(jnp.float32)
+        w_hi = round_bf16(winf)
         w_mid_f = winf - w_hi
-        w_mid = w_mid_f.astype(jnp.bfloat16).astype(jnp.float32)
+        w_mid = round_bf16(w_mid_f)
         w_lo = w_mid_f - w_mid
         dims = (((1,), (1,)), ((), ()))
         sel = (jax.lax.dot_general(

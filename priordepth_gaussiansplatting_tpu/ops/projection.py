@@ -34,6 +34,23 @@ LAMBDA_FLOOR = 0.1
 TILE = 16  # BLOCK_X = BLOCK_Y = 16 in the reference rasterizer
 
 
+def round_bf16(x):
+    """Round f32 to the nearest bf16-representable value (RTNE), staying
+    f32 — via explicit bit arithmetic. The idiomatic double-cast
+    `x.astype(bf16).astype(f32)` is ELIDED by the current XLA:TPU runtime
+    (convert-pair folding returns x bit-exactly — observed 2026-08), which
+    silently disables every rounding/limb-split site built on it. Integer
+    bit ops survive both XLA and Mosaic lowering unchanged. Matches the
+    double-cast (RTNE) bit-for-bit on finite values."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    rounded = u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))
+    return jax.lax.bitcast_convert_type(
+        rounded & jnp.uint32(0xFFFF0000), jnp.float32)
+
+
+_round_bf16_fn = round_bf16
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ProjectedGaussians:
@@ -209,7 +226,7 @@ def project_gaussians(
     # f32 attributes (finite-difference gradient checks need a smooth
     # function; the rounding staircase breaks FD at small epsilons).
     if round_bf16:
-        bf16r = lambda x: x.astype(jnp.bfloat16).astype(jnp.float32)
+        bf16r = _round_bf16_fn  # module fn; the bool arg shadows the name
     else:
         bf16r = lambda x: x
     return ProjectedGaussians(

@@ -44,16 +44,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import binning
-from .projection import TILE, ProjectedGaussians
+from .projection import TILE, ProjectedGaussians, round_bf16
 
 ALPHA_MAX = 0.99
 ALPHA_MIN = 1.0 / 255.0
 T_EPS = 1e-4
-CHUNK = 128          # pairs per DMA/compute chunk (multiple of 128).
+CHUNK = 128          # pairs per compute sub-chunk (multiple of 128).
                      # kernel_ab @1M: 128 ≈ 53.4 ms fwd+bwd, 256 = 55.1,
                      # 512 = 71.4 — smaller chunks halve the floor-to-CHUNK
                      # alignment waste (~0.5 chunk/tile) and the scan
                      # matmul FLOPs, outweighing the extra grid steps.
+SUB = 2              # sub-chunks per DMA block. The ~1 µs/chunk fixed cost
+                     # (while-loop iteration + DMA wait) was the measured
+                     # compositor bound (PERF.md); one BLOCK = SUB·CHUNK
+                     # DMA per loop iteration amortises it while each
+                     # transmittance scan stays a (PIX, CHUNK)×(CHUNK,
+                     # CHUNK) matmul — avoiding the K² scan blowup that
+                     # made a plain CHUNK=256 lose.
 PIX = TILE * TILE    # 256 pixels per tile
 NROW = binning.ATTR_ROWS
 ROWS = 16            # gradient rows (ATTR_* order) padded to a tile multiple
@@ -94,7 +101,7 @@ def _dot2(x, y, dims):
     render diverges from the oracle by ~1e-2 (found by
     tools/tpu_parity_check.py; interpret-mode tests run f32 and pass).
     """
-    x_hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    x_hi = round_bf16(x)
     x_lo = x - x_hi
     return (jax.lax.dot_general(
                 x_hi, y, dims, preferred_element_type=jnp.float32)
@@ -138,8 +145,8 @@ def _unpack_chunk(chunk):
     return mx, my, ca, cb, cc, op, rgb3, invd
 
 
-def _chunk_alpha(unpacked, px, py, astart, start, end, i):
-    """Alpha matrix + validity for one chunk.
+def _chunk_alpha(unpacked, px, py, base, start, end):
+    """Alpha matrix + validity for one sub-chunk starting at pair `base`.
 
     unpacked: the _unpack_chunk tuple. Returns (PIX, CHUNK) fields.
     """
@@ -151,7 +158,7 @@ def _chunk_alpha(unpacked, px, py, astart, start, end, i):
     raw = op * g
     alpha = jnp.minimum(ALPHA_MAX, raw)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-    pos = astart + i * CHUNK + lane
+    pos = base + lane
     in_range = (pos >= start) & (pos < end)  # (1, K)
     keep = in_range & (power <= 0.0) & (alpha >= ALPHA_MIN)
     a_eff = jnp.where(keep, alpha, 0.0)
@@ -159,15 +166,16 @@ def _chunk_alpha(unpacked, px, py, astart, start, end, i):
 
 
 def _tile_range(start_ref, end_ref, t):
-    """Chunk walk for tile t. Chunk starts are floored to CHUNK alignment:
-    Mosaic requires lane-dim HBM DMA slices to be 128-aligned (an exact
-    tile_start DMA start is rejected at compile time), so each tile pays up
-    to one partially-masked leading chunk."""
+    """Block walk for tile t (one block = SUB·CHUNK pairs, one DMA). Block
+    starts are floored to CHUNK alignment: Mosaic requires lane-dim HBM DMA
+    slices to be 128-aligned (an exact tile_start DMA start is rejected at
+    compile time), so each tile pays up to one partially-masked leading
+    sub-chunk."""
     start = start_ref[t]
     end = end_ref[t]
     astart = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
-    nchunks = jnp.where(end > start, pl.cdiv(end - astart, CHUNK), 0)
-    return astart, start, end, nchunks
+    nblocks = jnp.where(end > start, pl.cdiv(end - astart, CHUNK * SUB), 0)
+    return astart, start, end, nblocks
 
 
 def _fwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, color_ref, invd_ref,
@@ -190,16 +198,17 @@ def _fwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, color_ref, invd_ref,
     """
     t = pl.program_id(0)
     nt = pl.num_programs(0)
+    blk = CHUNK * SUB
     astart, start, end, nchunks = _tile_range(start_ref, end_ref, t)
     px, py = _pixel_coords(tid_ref[t], grid_x)
 
     def dma_at(a, slot):
         return pltpu.make_async_copy(
-            attrs_hbm.at[0:IN_ROWS, pl.ds(a, CHUNK)],
+            attrs_hbm.at[0:IN_ROWS, pl.ds(a, blk)],
             chunk_ref.at[slot], sem.at[slot])
 
     def dma(i, slot):
-        return dma_at(astart + i * CHUNK, slot)
+        return dma_at(astart + i * blk, slot)
 
     @pl.when((t == 0) & (nchunks > 0))
     def _():
@@ -219,42 +228,51 @@ def _fwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, color_ref, invd_ref,
 
         @pl.when(i + 2 < nchunks)
         def _():
-            # Two-deep lookahead over a 3-slot rotation: chunk i+2's copy
-            # reuses chunk i-1's buffer (already consumed).
+            # Two-deep lookahead over a 3-slot rotation: block i+2's copy
+            # reuses block i-1's buffer (already consumed).
             dma(i + 2, jax.lax.rem(i + 2, 3)).start()
 
         dma(i, slot).wait()
-        unpacked = _unpack_chunk(chunk_ref[slot])
-        a_eff, keep, _, _, _, _ = _chunk_alpha(unpacked, px, py, astart,
-                                               start, end, i)
-        one_m = 1.0 - a_eff
-        # cumprod(one_m) = exp(cumsum(log one_m)); one_m >= 0.01 so the
-        # log is well-conditioned and the cumsum runs on the MXU. The scan
-        # is EXCLUSIVE: t_ex is the transmittance BEFORE pair k (== the old
-        # incl/one_m without the divide), and the chunk-final carry falls
-        # out of incl's last column for free.
-        log_om = jnp.log(one_m)
-        t_ex = R * jnp.exp(_cumsum0(log_om))  # (PIX, K) before-pair T
-        incl = t_ex * one_m                   # after-pair T
-        live = incl >= T_EPS
-        w = jnp.where(live, a_eff * t_ex, 0.0)
-        contract = (((1,), (1,)), ((), ()))
-        # rgb/invdepth rows are bf16-valued by spec: the 2-limb split of w
-        # makes these accumulations exact (see _dot2). One fused (4, K)
-        # contraction — a separate 1-row invdepth dot lowers to a Mosaic
-        # multi_reduction that rejects non-constant accumulators.
-        rgbd = jnp.concatenate([unpacked[6], unpacked[7]], axis=0)  # (4, K)
-        acc = _dot2(w, rgbd, contract)            # (PIX, 4)
-        C = C + acc[:, 0:3]
-        D = D + acc[:, 3:4]
-        R = incl[:, -1:]
-        # Masked final transmittance: `incl` is non-increasing along the
-        # pair axis, so `live` is a PREFIX and the transmittance at the
-        # last live pair is simply the smallest live `incl` — a masked min
-        # instead of a second exp/log round trip (cheaper AND exact).
-        Tm = jnp.minimum(
-            Tm, jnp.min(jnp.where(live, incl, jnp.inf),
-                        axis=1, keepdims=True))
+        # SUB sequential sub-chunks per block (trace-time unroll): one DMA
+        # wait and one loop iteration amortise over SUB scan/accumulate
+        # passes. A sub-chunk fully past `end` is masked to a_eff = 0 and
+        # contributes nothing (log 1 = 0 keeps the scan exact).
+        for j in range(SUB):
+            unpacked = _unpack_chunk(
+                chunk_ref[slot][:, j * CHUNK:(j + 1) * CHUNK])
+            a_eff, keep, _, _, _, _ = _chunk_alpha(
+                unpacked, px, py, astart + i * blk + j * CHUNK, start, end)
+            one_m = 1.0 - a_eff
+            # cumprod(one_m) = exp(cumsum(log one_m)); one_m >= 0.01 so the
+            # log is well-conditioned and the cumsum runs on the MXU. The
+            # scan is EXCLUSIVE: t_ex is the transmittance BEFORE pair k
+            # (== the old incl/one_m without the divide), and the
+            # chunk-final carry falls out of incl's last column for free.
+            log_om = jnp.log(one_m)
+            t_ex = R * jnp.exp(_cumsum0(log_om))  # (PIX, K) before-pair T
+            incl = t_ex * one_m                   # after-pair T
+            live = incl >= T_EPS
+            w = jnp.where(live, a_eff * t_ex, 0.0)
+            contract = (((1,), (1,)), ((), ()))
+            # rgb/invdepth rows are bf16-valued by spec: the 2-limb split
+            # of w makes these accumulations exact (see _dot2). One fused
+            # (4, K) contraction — a separate 1-row invdepth dot lowers to
+            # a Mosaic multi_reduction that rejects non-constant
+            # accumulators.
+            rgbd = jnp.concatenate([unpacked[6], unpacked[7]],
+                                   axis=0)       # (4, K)
+            acc = _dot2(w, rgbd, contract)       # (PIX, 4)
+            C = C + acc[:, 0:3]
+            D = D + acc[:, 3:4]
+            R = incl[:, -1:]
+            # Masked final transmittance: `incl` is non-increasing along
+            # the pair axis, so `live` is a PREFIX and the transmittance at
+            # the last live pair is simply the smallest live `incl` — a
+            # masked min instead of a second exp/log round trip (cheaper
+            # AND exact).
+            Tm = jnp.minimum(
+                Tm, jnp.min(jnp.where(live, incl, jnp.inf),
+                            axis=1, keepdims=True))
         return i + 1, R, Tm, C, D
 
     T0 = jnp.ones((PIX, 1), jnp.float32)
@@ -315,6 +333,7 @@ def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
     floored chunk, so the grad read must observe this tile's RMW."""
     t = pl.program_id(0)
     nt = pl.num_programs(0)
+    blk = CHUNK * SUB
     astart, start, end, nchunks = _tile_range(start_ref, end_ref, t)
     px, py = _pixel_coords(tid_ref[t], grid_x)
 
@@ -329,24 +348,24 @@ def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
 
     def rdma_at(a, slot):
         return pltpu.make_async_copy(
-            attrs_hbm.at[0:IN_ROWS, pl.ds(a, CHUNK)],
+            attrs_hbm.at[0:IN_ROWS, pl.ds(a, blk)],
             chunk_ref.at[slot], sem.at[slot])
 
     def gdma_at(a, slot):
         return pltpu.make_async_copy(
-            dattrs_hbm.at[:, pl.ds(a, CHUNK)],
+            dattrs_hbm.at[:, pl.ds(a, blk)],
             gchunk_ref.at[slot], gsem.at[slot])
 
     def rdma(i, slot):
-        return rdma_at(astart + i * CHUNK, slot)
+        return rdma_at(astart + i * blk, slot)
 
     def gdma(i, slot):
-        return gdma_at(astart + i * CHUNK, slot)
+        return gdma_at(astart + i * blk, slot)
 
     def wdma(i, slot):
         return pltpu.make_async_copy(
             gchunk_ref.at[slot],
-            dattrs_hbm.at[:, pl.ds(astart + i * CHUNK, CHUNK)],
+            dattrs_hbm.at[:, pl.ds(astart + i * blk, blk)],
             wsem.at[slot])
 
     # Only chunk 0 can straddle a neighbouring tile's pair range (chunk
@@ -393,12 +412,13 @@ def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
         @pl.when((i == 0) & need_rmw)
         def _():
             gdma(0, 0).wait()
-        unpacked = _unpack_chunk(chunk_ref[rslot])
 
-        def compute(carry):
+        def compute(carry, j):
             R, r_pref = carry
-            a_eff, keep, g, raw, dx, dy = _chunk_alpha(unpacked, px, py,
-                                                       astart, start, end, i)
+            unpacked = _unpack_chunk(
+                chunk_ref[rslot][:, j * CHUNK:(j + 1) * CHUNK])
+            a_eff, keep, g, raw, dx, dy = _chunk_alpha(
+                unpacked, px, py, astart + i * blk + j * CHUNK, start, end)
             one_m = 1.0 - a_eff
             log_om = jnp.log(one_m)
             t_ex = R * jnp.exp(_cumsum0(log_om))  # before-pair T
@@ -434,7 +454,7 @@ def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
             mom = jnp.concatenate(
                 [jnp.ones((1, PIX), jnp.float32), u, v,
                  u * u, u * v, v * v], axis=0)                 # (6, PIX)
-            dp_hi = d_power.astype(jnp.bfloat16).astype(jnp.float32)
+            dp_hi = round_bf16(d_power)
             dp_lo = d_power - dp_hi
             cpix = (((1,), (0,)), ((), ()))
             S = (jax.lax.dot_general(
@@ -477,9 +497,16 @@ def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
             r_pref = r_pref + cum_wrho[:, -1:]
             return new_g, R, r_pref
 
-        new_g, R, r_pref = compute((R, r_pref))
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-        pos = astart + i * CHUNK + lane
+        # SUB sequential sub-chunks per block (see _fwd_kernel): one grad
+        # block assembled from SUB (ROWS, CHUNK) panels, written with ONE
+        # DMA.
+        panels = []
+        for j in range(SUB):
+            new_g, R, r_pref = compute((R, r_pref), j)
+            panels.append(new_g)
+        new_g = panels[0] if SUB == 1 else jnp.concatenate(panels, axis=1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
+        pos = astart + i * blk + lane
         owned = (pos >= start) & (pos < end)
         # Chunk 0 with RMW merges over the read; all other chunks zero the
         # non-owned lanes (a later tile that owns them RMW-merges over our
@@ -583,7 +610,7 @@ def _make_composite(width: int, height: int, p_pad: int, interpret: bool,
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((3, IN_ROWS, CHUNK), jnp.float32),
+                pltpu.VMEM((3, IN_ROWS, CHUNK * SUB), jnp.float32),
                 pltpu.SemaphoreType.DMA((3,)),
             ],
         ),
@@ -618,8 +645,8 @@ def _make_composite(width: int, height: int, p_pad: int, interpret: bool,
             ],
             out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # dattrs
             scratch_shapes=[
-                pltpu.VMEM((3, IN_ROWS, CHUNK), jnp.float32),   # attrs in
-                pltpu.VMEM((2, ROWS, CHUNK), jnp.float32),      # grads RMW
+                pltpu.VMEM((3, IN_ROWS, CHUNK * SUB), jnp.float32),  # attrs in
+                pltpu.VMEM((2, ROWS, CHUNK * SUB), jnp.float32),    # grads RMW
                 pltpu.SemaphoreType.DMA((3,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -705,7 +732,7 @@ def rasterize(proj: ProjectedGaussians, bg: jnp.ndarray,
         valid_capacity = pair_capacity
     if interpret is None:
         interpret = _interpret_default()
-    assert binning._COMPOSITE_PAD >= CHUNK
+    assert binning._COMPOSITE_PAD >= CHUNK * SUB
     sorted_attrs, aux = binning.bin_sorted_pairs(
         proj, width, height, pair_capacity, valid_capacity, interpret,
         exact_grads=exact_grads)

@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .projection import round_bf16
+
 C1 = 0.01 ** 2
 C2 = 0.03 ** 2
 
@@ -45,9 +47,9 @@ def _conv_2limb(x: jnp.ndarray, k: jnp.ndarray, pads, dn, groups: int
     conv = lambda a, b: jax.lax.conv_general_dilated(
         a, b, (1, 1), pads, dimension_numbers=dn,
         feature_group_count=groups)
-    x_hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    x_hi = round_bf16(x)
     x_lo = x - x_hi
-    k_hi = k.astype(jnp.bfloat16).astype(jnp.float32)
+    k_hi = round_bf16(k)
     k_lo = k - k_hi
     return conv(x_hi, k_hi) + conv(x_hi, k_lo) + conv(x_lo, k_hi)
 
