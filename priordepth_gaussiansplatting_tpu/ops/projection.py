@@ -34,6 +34,7 @@ LAMBDA_FLOOR = 0.1
 TILE = 16  # BLOCK_X = BLOCK_Y = 16 in the reference rasterizer
 
 
+@jax.custom_jvp
 def round_bf16(x):
     """Round f32 to the nearest bf16-representable value (RTNE), staying
     f32 — via explicit bit arithmetic. The idiomatic double-cast
@@ -41,11 +42,28 @@ def round_bf16(x):
     (convert-pair folding returns x bit-exactly — observed 2026-08), which
     silently disables every rounding/limb-split site built on it. Integer
     bit ops survive both XLA and Mosaic lowering unchanged. Matches the
-    double-cast (RTNE) bit-for-bit on finite values."""
+    double-cast (RTNE) bit-for-bit on finite values. NaN/Inf inputs are
+    passed through unchanged (the +0x7FFF carry would otherwise walk a
+    NaN payload into the exponent and emit Inf, masking upstream
+    divergence from `--detect_anomaly`).
+
+    STRAIGHT-THROUGH GRADIENT (custom_jvp, derivative 1): the bitcast
+    chain's autodiff gradient is ZERO, which the double-cast's was not —
+    without this rule every parameter gradient through
+    `project_gaussians(round_bf16=True)` vanishes and training silently
+    stops (the round-4 flat-loss regression)."""
     u = jax.lax.bitcast_convert_type(x, jnp.uint32)
     rounded = u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))
+    nonfinite = (u & jnp.uint32(0x7F800000)) == jnp.uint32(0x7F800000)
     return jax.lax.bitcast_convert_type(
-        rounded & jnp.uint32(0xFFFF0000), jnp.float32)
+        jnp.where(nonfinite, u, rounded & jnp.uint32(0xFFFF0000)),
+        jnp.float32)
+
+
+@round_bf16.defjvp
+def _round_bf16_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    return round_bf16(x), dx
 
 
 _round_bf16_fn = round_bf16

@@ -54,7 +54,7 @@ CHUNK = 128          # pairs per compute sub-chunk (multiple of 128).
                      # 512 = 71.4 — smaller chunks halve the floor-to-CHUNK
                      # alignment waste (~0.5 chunk/tile) and the scan
                      # matmul FLOPs, outweighing the extra grid steps.
-SUB = 2              # sub-chunks per DMA block. The ~1 µs/chunk fixed cost
+SUB = 1              # sub-chunks per DMA block. The ~1 µs/chunk fixed cost
                      # (while-loop iteration + DMA wait) was the measured
                      # compositor bound (PERF.md); one BLOCK = SUB·CHUNK
                      # DMA per loop iteration amortises it while each
@@ -112,6 +112,97 @@ def _dot2(x, y, dims):
 def _cumsum1(x):
     """Inclusive cumsum along axis 1 via triangular MXU matmul."""
     return _dot2(x, _tri(x.shape[1]), (((1,), (0,)), ((), ())))
+
+
+# ln2 split: the hi limb has its low 12 mantissa bits zero, so k * _LN2_HI
+# is EXACT for the small integer k of the range reductions below; the lo
+# limb restores full f64-grade ln2.
+_LN2_HI = np.float32(0.693145751953125)
+_LN2_LO = np.float32(1.4286068203094172e-06)
+_INV_LN2 = np.float32(1.4426950408889634)
+
+
+def _pexp(x):
+    """Accurate f32 exp for x in [-88, 0]: range-reduce by ln2 (two-limb,
+    exact) + degree-7 Taylor on [-ln2/2, ln2/2] + exponent bit-scale.
+
+    The platform's VPU exp carries ~5e-6 relative error (measured on-chip
+    2026-08); through the compositor's transmittance it was the residual
+    final_T parity gap once `_plog` fixed the log. Error here ~1e-7
+    relative. Mosaic-safe (floor, bitcast, integer add, FMAs).
+
+    Inputs are clamped to [-87, 0]: the exponent bit-scale wraps outside
+    f32 normal range, and the compositor's log-transmittance argument is
+    mathematically <= 0 but can reach ~-600 on fully-opaque chunks (any
+    T below exp(-87) ~ 1.6e-38 is dead — far under T_EPS).
+    """
+    x = jnp.clip(x, -87.0, 0.0)
+    k = jnp.floor(x * _INV_LN2 + 0.5)
+    f = (x - k * _LN2_HI) - k * _LN2_LO
+    # Horner e^f, |f| <= 0.3466: truncation ~5e-9 relative.
+    p = 1.0 + f * (1.0 + f * (0.5 + f * (
+        1.0 / 6.0 + f * (1.0 / 24.0 + f * (
+            1.0 / 120.0 + f * (1.0 / 720.0 + f * (1.0 / 5040.0)))))))
+    u = jax.lax.bitcast_convert_type(p, jnp.int32)
+    return jax.lax.bitcast_convert_type(
+        u + (k.astype(jnp.int32) << 23), jnp.float32)
+
+
+SCAN_MUL = False     # transmittance scan implementation: True = in-chunk
+                     # Hillis-Steele roll-multiply cumprod (pure f32
+                     # multiplies — same rounding structure as the
+                     # oracle/CUDA cumprod, no transcendentals); False =
+                     # exp(cumsum(log)) on the MXU with `_plog`/`_pexp`
+                     # (the platform log/exp built-ins are too coarse —
+                     # see those docstrings). Both are parity-clean; the
+                     # multiply scan costs ~21 VPU passes/chunk vs ~38 for
+                     # the polynomial transcendentals (kernel_ab).
+
+
+def _cumprod_incl(x):
+    """Inclusive cumprod along the lane axis via log-step roll-multiply.
+
+    K = x.shape[1] steps of: multiply by self shifted right by s lanes
+    (1-filled). Pure multiplies — error ~log2(K) ULP per element, and
+    bit-structurally the same accumulation as the oracle's `jnp.cumprod`,
+    so kernel-vs-oracle transmittance tracks to float noise.
+    """
+    k = x.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    s = 1
+    while s < k:
+        x = x * jnp.where(lane < s, 1.0, pltpu.roll(x, s, 1))
+        s *= 2
+    return x
+
+
+def _plog(x):
+    """Accurate f32 log for x in (0, 2): bit-decomposition + atanh series.
+
+    The platform's `jnp.log` VPU approximation carries ~1.1e-4 absolute
+    error (measured on-chip 2026-08; it was ~1e-7 when the exp/log scan
+    formulation was parity-validated in r03) — through the transmittance
+    scan exp(cumsum(log(1-a))) that inflates render error to ~9e-4 vs the
+    cumprod oracle. This routine reduces x = m * 2^k (pure bit ops, exact),
+    maps m to [sqrt(1/2), sqrt(2)) and evaluates log(m) = 2*atanh(t),
+    t = (m-1)/(m+1), |t| <= 0.1716, with a 5-term odd series (truncation
+    ~7e-10; net error ~1e-7 abs). log(1) == 0 exactly, which keeps masked
+    lanes (a_eff = 0) exact in the scan. Mosaic-safe: bitcasts, integer
+    ops, one divide, fused mul-adds.
+    """
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    k = (u >> 23).astype(jnp.int32) - 127
+    m = jax.lax.bitcast_convert_type(
+        (u & jnp.uint32(0x007FFFFF)) | jnp.uint32(0x3F800000), jnp.float32)
+    big = m > 1.4142135
+    m = jnp.where(big, 0.5 * m, m)
+    k = k + big.astype(jnp.int32)
+    t = (m - 1.0) / (m + 1.0)
+    t2 = t * t
+    p = 2.0 * t * (1.0 + t2 * (1.0 / 3.0 + t2 * (
+        1.0 / 5.0 + t2 * (1.0 / 7.0 + t2 * (1.0 / 9.0)))))
+    kf = k.astype(jnp.float32)
+    return kf * _LN2_HI + (p + kf * _LN2_LO)
 
 
 def _cumsum0(x):
@@ -218,12 +309,16 @@ def _fwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, color_ref, invd_ref,
         def _():
             dma(1, 1).start()
 
+    # Carry: multiplicative transmittance R (SCAN_MUL) or its log S.
+    c_eps = np.float32(T_EPS) if SCAN_MUL else np.float32(np.log(T_EPS))
+    c_init = np.float32(1.0) if SCAN_MUL else np.float32(0.0)
+
     def cond(carry):
-        i, R, *_ = carry
-        return (i < nchunks) & jnp.any(R >= T_EPS)
+        i, S, *_ = carry
+        return (i < nchunks) & jnp.any(S >= c_eps)
 
     def body(carry):
-        i, R, Tm, C, D = carry  # (PIX,1), (PIX,1), (PIX,3), (PIX,1)
+        i, S, Tm, C, D = carry  # (PIX,1), (PIX,1), (PIX,3), (PIX,1)
         slot = jax.lax.rem(i, 3)
 
         @pl.when(i + 2 < nchunks)
@@ -243,14 +338,20 @@ def _fwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, color_ref, invd_ref,
             a_eff, keep, _, _, _, _ = _chunk_alpha(
                 unpacked, px, py, astart + i * blk + j * CHUNK, start, end)
             one_m = 1.0 - a_eff
-            # cumprod(one_m) = exp(cumsum(log one_m)); one_m >= 0.01 so the
-            # log is well-conditioned and the cumsum runs on the MXU. The
-            # scan is EXCLUSIVE: t_ex is the transmittance BEFORE pair k
-            # (== the old incl/one_m without the divide), and the
-            # chunk-final carry falls out of incl's last column for free.
-            log_om = jnp.log(one_m)
-            t_ex = R * jnp.exp(_cumsum0(log_om))  # (PIX, K) before-pair T
-            incl = t_ex * one_m                   # after-pair T
+            # Transmittance scan (see SCAN_MUL). t_ex is the EXCLUSIVE
+            # (before-pair) T, incl the inclusive (after-pair) T.
+            if SCAN_MUL:
+                incl = S * _cumprod_incl(one_m)
+                lane2 = jax.lax.broadcasted_iota(jnp.int32, incl.shape, 1)
+                t_ex = jnp.where(lane2 == 0, S, pltpu.roll(incl, 1, 1))
+            else:
+                # cumprod = exp(cumsum(log)); the cumsum rides the MXU.
+                # The carry S stays in LOG space so the exp error (even
+                # _pexp's ~1e-7) does not compound across chunks.
+                log_om = _plog(one_m)
+                cs = _cumsum0(log_om)
+                t_ex = _pexp(S + cs)              # (PIX, K) before-pair T
+                incl = t_ex * one_m               # after-pair T
             live = incl >= T_EPS
             w = jnp.where(live, a_eff * t_ex, 0.0)
             contract = (((1,), (1,)), ((), ()))
@@ -264,7 +365,10 @@ def _fwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, color_ref, invd_ref,
             acc = _dot2(w, rgbd, contract)       # (PIX, 4)
             C = C + acc[:, 0:3]
             D = D + acc[:, 3:4]
-            R = incl[:, -1:]
+            if SCAN_MUL:
+                S = incl[:, -1:]
+            else:
+                S = S + (cs[:, -1:] + log_om[:, -1:])  # inclusive log-total
             # Masked final transmittance: `incl` is non-increasing along
             # the pair axis, so `live` is a PREFIX and the transmittance at
             # the last live pair is simply the smallest live `incl` — a
@@ -273,13 +377,13 @@ def _fwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, color_ref, invd_ref,
             Tm = jnp.minimum(
                 Tm, jnp.min(jnp.where(live, incl, jnp.inf),
                             axis=1, keepdims=True))
-        return i + 1, R, Tm, C, D
+        return i + 1, S, Tm, C, D
 
-    T0 = jnp.ones((PIX, 1), jnp.float32)
+    S0 = jnp.full((PIX, 1), c_init, jnp.float32)
     C0 = jnp.zeros((PIX, 3), jnp.float32)
     D0 = jnp.zeros((PIX, 1), jnp.float32)
     i_fin, _, Tm, C, D = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), T0, jnp.ones((PIX, 1), jnp.float32),
+        cond, body, (jnp.int32(0), S0, jnp.ones((PIX, 1), jnp.float32),
                      C0, D0))
     color_ref[0] = C
     invd_ref[0] = D
@@ -306,7 +410,9 @@ def _fwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, color_ref, invd_ref,
 
         @pl.when(nchunks2 > 1)
         def _():
-            dma_at(astart2 + CHUNK, 1).start()
+            # Block 1 starts one full DMA block (CHUNK*SUB pairs) past
+            # astart2 — must match the blk stride used by dma(i, slot).
+            dma_at(astart2 + CHUNK * SUB, 1).start()
 
 
 def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
@@ -387,12 +493,15 @@ def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
         def _():
             gdma(0, 0).start()
 
+    c_eps = np.float32(T_EPS) if SCAN_MUL else np.float32(np.log(T_EPS))
+    c_init = np.float32(1.0) if SCAN_MUL else np.float32(0.0)
+
     def cond(carry):
-        i, R, _ = carry
-        return (i < nchunks) & jnp.any(R >= T_EPS)
+        i, S, _ = carry
+        return (i < nchunks) & jnp.any(S >= c_eps)
 
     def body(carry):
-        i, R, r_pref = carry  # R: (PIX,1) unmasked kept-product
+        i, S, r_pref = carry  # S: (PIX,1) log of the unmasked kept-product
         rslot = jax.lax.rem(i, 3)
         slot = jax.lax.rem(i, 2)
 
@@ -414,15 +523,23 @@ def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
             gdma(0, 0).wait()
 
         def compute(carry, j):
-            R, r_pref = carry
+            S, r_pref = carry
             unpacked = _unpack_chunk(
                 chunk_ref[rslot][:, j * CHUNK:(j + 1) * CHUNK])
             a_eff, keep, g, raw, dx, dy = _chunk_alpha(
                 unpacked, px, py, astart + i * blk + j * CHUNK, start, end)
             one_m = 1.0 - a_eff
-            log_om = jnp.log(one_m)
-            t_ex = R * jnp.exp(_cumsum0(log_om))  # before-pair T
-            incl = t_ex * one_m                   # after-pair T
+            # The scan must track the forward EXACTLY so live/keep masks
+            # and weights match (see _fwd_kernel note).
+            if SCAN_MUL:
+                incl = S * _cumprod_incl(one_m)
+                lane2 = jax.lax.broadcasted_iota(jnp.int32, incl.shape, 1)
+                t_ex = jnp.where(lane2 == 0, S, pltpu.roll(incl, 1, 1))
+            else:
+                log_om = _plog(one_m)
+                cs = _cumsum0(log_om)
+                t_ex = _pexp(S + cs)              # before-pair T
+                incl = t_ex * one_m               # after-pair T
             live = incl >= T_EPS
             w = jnp.where(live, a_eff * t_ex, 0.0)  # (PIX, K)
 
@@ -457,12 +574,12 @@ def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
             dp_hi = round_bf16(d_power)
             dp_lo = d_power - dp_hi
             cpix = (((1,), (0,)), ((), ()))
-            S = (jax.lax.dot_general(
+            M = (jax.lax.dot_general(
                      mom, dp_hi, cpix, preferred_element_type=jnp.float32)
                  + jax.lax.dot_general(
                      mom, dp_lo, cpix,
                      preferred_element_type=jnp.float32))       # (6, K)
-            s00, s10, s01, s20, s11, s02 = (S[i:i + 1] for i in range(6))
+            s00, s10, s01, s20, s11, s02 = (M[r:r + 1] for r in range(6))
             # tile-local mean: dx = u - mxl, dy = v - myl.
             tloc = tid_ref[t]
             tx0 = ((tloc % grid_x) * TILE).astype(jnp.float32)
@@ -493,16 +610,19 @@ def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
             new_g = jnp.concatenate(
                 [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_rgb, d_id,
                  jnp.zeros((ROWS - NROW, CHUNK), jnp.float32)], axis=0)
-            R = incl[:, -1:]
+            if SCAN_MUL:
+                S = incl[:, -1:]
+            else:
+                S = S + (cs[:, -1:] + log_om[:, -1:])
             r_pref = r_pref + cum_wrho[:, -1:]
-            return new_g, R, r_pref
+            return new_g, S, r_pref
 
         # SUB sequential sub-chunks per block (see _fwd_kernel): one grad
         # block assembled from SUB (ROWS, CHUNK) panels, written with ONE
         # DMA.
         panels = []
         for j in range(SUB):
-            new_g, R, r_pref = compute((R, r_pref), j)
+            new_g, S, r_pref = compute((S, r_pref), j)
             panels.append(new_g)
         new_g = panels[0] if SUB == 1 else jnp.concatenate(panels, axis=1)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
@@ -517,11 +637,11 @@ def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
             owned, new_g,
             jnp.where(keep_prev, gchunk_ref[slot], 0.0))
         wdma(i, slot).start()
-        return i + 1, R, r_pref
+        return i + 1, S, r_pref
 
-    T0 = jnp.ones((PIX, 1), jnp.float32)
+    S0 = jnp.full((PIX, 1), c_init, jnp.float32)
     R0 = jnp.zeros((PIX, 1), jnp.float32)
-    i_fin, _, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), T0, R0))
+    i_fin, _, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), S0, R0))
 
     # Drain outstanding writes before the next tile (which may share an
     # aligned chunk with this one) issues its first grad read: body(i)
@@ -560,7 +680,9 @@ def _bwd_kernel(tid_ref, start_ref, end_ref, attrs_hbm, dC_ref, dD_ref,
 
         @pl.when(nchunks2 > 1)
         def _():
-            rdma_at(astart2 + CHUNK, 1).start()
+            # Match the blk stride of rdma(i, slot): block 1 is CHUNK*SUB
+            # pairs past astart2.
+            rdma_at(astart2 + CHUNK * SUB, 1).start()
 
 
 def _tiles_to_image(tiles: jnp.ndarray, grid_x: int, grid_y: int,

@@ -95,6 +95,11 @@ def rasterize_reference(proj: ProjectedGaussians, bg: jnp.ndarray,
     xs = jnp.pad(xs, (0, pad)).reshape(nchunk, pixel_chunk)
     ys = jnp.pad(ys, (0, pad)).reshape(nchunk, pixel_chunk)
 
+    # Rematerialise per pixel-chunk under autodiff: the (pixels, N)
+    # intermediates (masks, alphas, cumulative transmittance) otherwise
+    # stack up as scan residuals — ~npix*N*4 bytes PER residual, an HBM
+    # OOM for the golden-model grad checks at realistic sizes.
+    @jax.checkpoint
     def body(xy):
         return _composite_pixels(xy[0], xy[1], mean2d, conic, opacity, rgb,
                                  invdepth, txmin, tymin, txmax, tymax)

@@ -244,8 +244,11 @@ def make_sharded_train_step(opt_cfg: OptimizationConfig,
             state.params, pgrads, opt_state, lrs,
             visibility=visibility, sparse=sparse)
         # Overflow frames: discard the whole update (wrong gradient) —
-        # capacity adaptation handles future frames.
-        ok = overflow == 0
+        # capacity adaptation handles future frames. Non-finite loss
+        # (degenerate frame) is equally untrustworthy (matches the
+        # single-chip step); pmax makes the decision replicated.
+        ok = (overflow == 0) & (jax.lax.pmin(
+            jnp.isfinite(loss).astype(jnp.int32), mesh_lib.DATA_AXIS) > 0)
         keep = lambda new, old: jax.tree.map(
             lambda a, b: jnp.where(ok, a, b), new, old)
         new_params = keep(new_params, state.params)
@@ -262,6 +265,8 @@ def make_sharded_train_step(opt_cfg: OptimizationConfig,
             "n_active": jax.lax.psum(state.num_active, mesh_lib.GAUSS_AXIS),
             "num_pairs": num_pairs,
             "overflow": overflow,
+            # Per-iteration dropped-update flag (see train/step.py).
+            "skipped": (~ok).astype(jnp.int32),
         }
         return state, opt_state, metrics
 
@@ -277,7 +282,8 @@ def make_sharded_train_step(opt_cfg: OptimizationConfig,
                       P()),
             out_specs=(st_spec, ad_spec,
                        {"loss": P(), "l1": P(), "n_active": P(),
-                        "num_pairs": P(), "overflow": P()}),
+                        "num_pairs": P(), "overflow": P(),
+                        "skipped": P()}),
             check_rep=False)
         return sharded(state, opt_state, cam_batch, step_i, key, bg)
 

@@ -149,6 +149,12 @@ def make_train_step(opt_cfg: OptimizationConfig, pipe_cfg: PipelineConfig,
             "depth_loss": aux["depth_loss"],
             "n_visible": jnp.sum(visibility.astype(jnp.int32)),
             "n_active": state.num_active,
+            # Dropped updates must be observable per-iteration: a silent
+            # free-wheel (every step skipped on persistent overflow) looks
+            # exactly like a healthy-but-flat loss curve otherwise (the
+            # round-4 proof pathology). The trainer counts consecutive
+            # skips and grows capacity / aborts loudly.
+            "skipped": (~ok).astype(jnp.int32),
         }
         if "num_pairs" in aux:
             metrics["num_pairs"] = aux["num_pairs"]

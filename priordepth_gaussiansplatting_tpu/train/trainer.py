@@ -98,12 +98,20 @@ class Trainer:
         if model_cfg.model_path:
             save_cfg_args(model_cfg.model_path, model_cfg)
 
-        # One (5,) device vector per step; fetched in stacked batches.
+        # One (6,) device vector per step; fetched in stacked batches.
         self._pack_metrics = jax.jit(lambda m: jnp.stack([
             m["loss"].astype(jnp.float32), m["l1"].astype(jnp.float32),
             m["n_active"].astype(jnp.float32),
             m.get("num_pairs", jnp.int32(0)).astype(jnp.float32),
-            m.get("overflow", jnp.int32(0)).astype(jnp.float32)]))
+            m.get("overflow", jnp.int32(0)).astype(jnp.float32),
+            m.get("skipped", jnp.int32(0)).astype(jnp.float32)]))
+        # Consecutive dropped-update guard: a run silently free-wheeling on
+        # persistent overflow / NaN (old params kept every step) must not
+        # burn hours looking healthy. After `max_consecutive_skips` the
+        # trainer grows the pair capacity (overflow cause) or aborts.
+        self.consecutive_skips = 0
+        self.total_skips = 0
+        self.max_consecutive_skips = 25
 
     def _make_fns(self, pair_capacity: Optional[int] = None):
         if self.mesh is not None:
@@ -220,9 +228,10 @@ class Trainer:
                     or it in save_iterations or it in checkpoint_iterations):
                 rows = np.asarray(jnp.stack([v for _, v in pending]))
                 for (jt, _), row in zip(pending, rows):
-                    loss, l1, n_active, num_pairs, overflow = (
+                    loss, l1, n_active, num_pairs, overflow, skipped = (
                         float(row[0]), float(row[1]), int(row[2]),
-                        int(row[3]), int(row[4]))
+                        int(row[3]), int(row[4]), int(row[5]))
+                    self._observe_skip(jt, skipped, overflow, loss)
                     if np.isfinite(loss):
                         self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
                     else:
@@ -247,6 +256,7 @@ class Trainer:
                             "train_loss_patches/total_loss": loss,
                             "total_points": n_active,
                             "iter_time": time.time() - t_start,
+                            "skipped": skipped,
                         }, jt)
                     if not self.quiet and jt % 100 == 0:
                         print(f"[it {jt}/{total}] loss {self.ema_loss:.5f} "
@@ -303,6 +313,50 @@ class Trainer:
                 print(f"[it {self.iteration}] pair capacity -> {desired} "
                       f"(pairs {num_pairs}, overflow {overflow})",
                       flush=True)
+
+    def _observe_skip(self, it: int, skipped: int, overflow: int,
+                      loss: float) -> None:
+        """React to dropped updates (train/step.py `ok` gate).
+
+        The reference CUDA path never drops a frame
+        (`gaussian_renderer/__init__.py:90-112` always returns gradients);
+        our static-capacity design can, so skips must be loud and bounded:
+        a persistent overflow grows the (possibly pinned) pair capacity one
+        ladder rung; anything else aborts after `max_consecutive_skips`
+        consecutive drops instead of free-wheeling for hours.
+        """
+        if not skipped:
+            self.consecutive_skips = 0
+            return
+        self.consecutive_skips += 1
+        self.total_skips += 1
+        if self.total_skips <= 5 or self.consecutive_skips in (5, 10, 20):
+            cause = ("pair overflow" if overflow > 0
+                     else f"non-finite loss ({loss})")
+            print(f"[it {it}] WARNING: update skipped ({cause}); "
+                  f"{self.consecutive_skips} consecutive, "
+                  f"{self.total_skips} total", flush=True)
+        if self.consecutive_skips < self.max_consecutive_skips:
+            return
+        if overflow > 0:
+            from ..ops import rasterize_pallas as rp  # noqa: PLC0415
+            effective = (self.pair_capacity
+                         or rp.default_pair_capacity(self.state.capacity))
+            grown = rp.round_capacity(effective + 1)
+            print(f"[it {it}] pair capacity auto-grown {effective} -> "
+                  f"{grown} after {self.consecutive_skips} consecutive "
+                  "overflow skips", flush=True)
+            if self._pin_pair_capacity is not None:
+                self._pin_pair_capacity = grown
+            self.pair_capacity = grown
+            self.fns = self._make_fns(pair_capacity=grown)
+            self.consecutive_skips = 0
+            return
+        raise RuntimeError(
+            f"[it {it}] {self.consecutive_skips} consecutive updates "
+            f"dropped on non-finite loss ({loss}) — the run is not "
+            "training; aborting instead of free-wheeling. Inspect with "
+            "--detect_anomaly / --debug_from.")
 
     def _replace_sharded(self) -> None:
         """Re-apply the mesh shardings after a host-side state rebuild."""

