@@ -28,46 +28,58 @@ def gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
-def _conv_2limb(x: jnp.ndarray, k: jnp.ndarray, pads, dn, groups: int
-                ) -> jnp.ndarray:
-    """f32-accurate depthwise conv from three DEFAULT (bf16-operand) passes.
-
-    Full f32 precision is REQUIRED here, not optional: on TPU the MXU
-    truncates conv operands to bf16 at DEFAULT precision, which puts
-    ~2^-8-relative error on blur(x^2) — and sigma^2 = blur(x^2) - mu^2
-    then goes negative by up to ~5e-3, crossing the C2=9e-4 stabiliser so
-    the SSIM denominator flips sign and the map blows up to +/-inf on real
-    frames (the torch reference computes these convs in f32).
-
-    HIGHEST restores f32 but costs six MXU passes. Splitting BOTH operands
-    into bf16 hi/lo limbs and summing the three significant cross terms
-    (hi·hi + hi·lo + lo·hi; the dropped lo·lo term is ~2^-16 relative,
-    ~60× inside C2 after the sigma cancellation) is exact to ~1e-5 at half
-    HIGHEST's cost — the conv analog of rasterize_pallas._dot2."""
-    conv = lambda a, b: jax.lax.conv_general_dilated(
-        a, b, (1, 1), pads, dimension_numbers=dn,
-        feature_group_count=groups)
-    x_hi = round_bf16(x)
-    x_lo = x - x_hi
-    k_hi = round_bf16(k)
-    k_lo = k - k_hi
-    return conv(x_hi, k_hi) + conv(x_hi, k_lo) + conv(x_lo, k_hi)
+def _band_matrix(n: int, window: np.ndarray) -> jnp.ndarray:
+    """(n, n) banded blur operator: B[i, j] = window[j - i + pad] inside
+    the band, 0 outside — zero-padded "same" convolution as a matmul.
+    Built from iotas (no multi-MB embedded constants at eval sizes)."""
+    pad = len(window) // 2
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    d = j - i + pad
+    acc = jnp.zeros((n, n), jnp.float32)
+    for t, wt in enumerate(window):
+        acc = acc + jnp.where(d == t, jnp.float32(wt), 0.0)
+    return acc
 
 
-def _blur(x: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise separable same-padded Gaussian blur (2-limb f32 convs).
-    x: (C, H, W)."""
-    c = x.shape[0]
-    w = window.shape[0]
-    x = x[None]  # (1, C, H, W)
-    kh = jnp.tile(window.reshape(1, 1, w, 1), (c, 1, 1, 1))
-    kw = jnp.tile(window.reshape(1, 1, 1, w), (c, 1, 1, 1))
-    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape,
-                                        ("NCHW", "OIHW", "NCHW"))
-    pad = w // 2
-    x = _conv_2limb(x, kh, [(pad, pad), (0, 0)], dn, c)
-    x = _conv_2limb(x, kw, [(0, 0), (pad, pad)], dn, c)
-    return x[0]
+def _split(a):
+    hi = round_bf16(a)
+    return hi, a - hi
+
+
+def _blur(x: jnp.ndarray, window: np.ndarray) -> jnp.ndarray:
+    """Separable same-padded Gaussian blur as two banded MXU matmuls.
+    x: (C, H, W).
+
+    XLA lowers small-tap depthwise convs terribly on TPU (im2col-style:
+    the 5 SSIM blurs at 1024² cost ~35 ms/step — trainstage_probe r05,
+    a third of the whole train step). The same blur as (H, H) and (W, W)
+    banded matmuls is ~100× more FLOPs but they are MXU FLOPs: ~2 ms.
+
+    Full f32 accuracy is REQUIRED (not optional): the MXU truncates f32
+    operands to bf16 at DEFAULT precision, which puts ~2^-8-relative error
+    on blur(x²) — and sigma² = blur(x²) − mu² then goes negative past the
+    C2 = 9e-4 stabiliser, flipping the SSIM denominator sign to ±inf on
+    real frames (the torch reference computes these in f32). Each matmul
+    therefore runs as three DEFAULT passes over exact bf16 hi/lo limb
+    splits of BOTH operands (hi·hi + hi·lo + lo·hi; the dropped lo·lo is
+    ~2^-16 relative) — the blur analog of rasterize_pallas._dot2."""
+    h, w = x.shape[1], x.shape[2]
+    bh_hi, bh_lo = _split(_band_matrix(h, window))
+    bw_hi, bw_lo = _split(_band_matrix(w, window))
+
+    def mm3(a, b, dims):
+        a_hi, a_lo = _split(a)
+        b_hi, b_lo = b
+        d = lambda p, q: jax.lax.dot_general(
+            p, q, dims, preferred_element_type=jnp.float32)
+        return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+
+    # W pass: (C, H, W) x (V, W) -> (C, H, V)
+    y = mm3(x, (bw_hi, bw_lo), (((2,), (1,)), ((), ())))
+    # H pass: (C, H, V) x (G, H) -> (C, V, G) -> (C, G, V)
+    z = mm3(y, (bh_hi, bh_lo), (((1,), (1,)), ((), ())))
+    return z.transpose(0, 2, 1)
 
 
 def ssim_map(img1: jnp.ndarray, img2: jnp.ndarray,
@@ -77,7 +89,7 @@ def ssim_map(img1: jnp.ndarray, img2: jnp.ndarray,
     Because the padding is zeros, computing the map on a zero-padded canvas
     and masking to the true image region reproduces the native-resolution
     result bit-for-bit — the basis of mixed-resolution DP batching."""
-    window = jnp.asarray(gaussian_window(window_size))
+    window = gaussian_window(window_size)
     mu1 = _blur(img1, window)
     mu2 = _blur(img2, window)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2

@@ -7,7 +7,7 @@ cd "$(dirname "$0")/.." || exit 1
 OUT=${OUT:-/root/repo/.proofrun}
 PIN=${PIN:-9437184}
 ITERS=${ITERS:-40500}
-GRAD=${GRAD:-0.00004}
+GRAD=${GRAD:-0.0002}
 LOG=$OUT/supervisor.log
 mkdir -p "$OUT"
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache

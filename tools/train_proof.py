@@ -62,13 +62,15 @@ def main(argv=None):
     ap.add_argument("--points", type=int, default=24000)
     ap.add_argument("--iters", type=int, default=40500)
     ap.add_argument("--ckpt_every", type=int, default=3000)
-    ap.add_argument("--grad_threshold", type=float, default=4e-5)
+    # Reference default (arguments/__init__.py:93). r04's 4e-5 was tuning
+    # around the (now fixed) zero-gradient bug — reverted per VERDICT.
+    ap.add_argument("--grad_threshold", type=float, default=2e-4)
     ap.add_argument("--capacity", type=int, default=1 << 21)
     ap.add_argument("--pin_pairs", type=int, default=9 * (1 << 20))
     ap.add_argument("--stall_timeout", type=float, default=1500.0)
     ap.add_argument("--first_timeout", type=float, default=3600.0,
                     help="watchdog grace for the first (compiling) step")
-    ap.add_argument("--tag", default="r04")
+    ap.add_argument("--tag", default="r05")
     args = ap.parse_args(argv)
 
     scene_dir = os.path.join(args.out, "scene")
@@ -199,6 +201,15 @@ def main(argv=None):
 
     def on_it(tr, it, metrics):
         progress.update(it=it, t=time.time(), first=False)
+        # Early free-wheel tripwire (VERDICT r05 #2): a healthy run on this
+        # scene is well below 0.15 EMA loss by iteration 500 (r03: 0.087).
+        # A run that is not learning must die in minutes, not hours.
+        if it == 500 and tr.ema_loss > 0.2:
+            print(f"[proof] SANITY: ema loss {tr.ema_loss:.4f} at it 500 "
+                  "(healthy < 0.15) — run is not learning; exiting 8",
+                  flush=True)
+            save_status("failed_sanity")
+            os._exit(8)
         if it % 500 == 0:
             stamps.append((it, time.time()))
         if it % 100 == 0:
