@@ -42,11 +42,22 @@ def make_rgbd(n_views: int, size: int):
 
 
 def main(argv):
-    cpu = "--cpu" in argv
-    argv = [a for a in argv if a != "--cpu"]
-    steps = int(argv[0]) if argv else 400
-    size = int(argv[1]) if len(argv) > 1 else 128
-    batch = int(argv[2]) if len(argv) > 2 else 8
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("steps", nargs="?", type=int, default=400)
+    ap.add_argument("size", nargs="?", type=int, default=128)
+    ap.add_argument("batch", nargs="?", type=int, default=8)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--embed_dim", type=int, default=192)
+    ap.add_argument("--encoder_depth", type=int, default=6)
+    ap.add_argument("--n_bins", type=int, default=32)
+    ap.add_argument("--bin_centers_type", default="normed",
+                    help="normed|softplus (reference knob)")
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--tag", default="r04")
+    args = ap.parse_args(argv)
+    cpu = args.cpu
+    steps, size, batch = args.steps, args.size, args.batch
 
     import jax
     import jax.numpy as jnp
@@ -81,11 +92,13 @@ def main(argv):
     # normed bin centers (a reference bin_centers_type) converge within a
     # few hundred steps; the softplus default starts all centers ≈0.7 m
     # and is tuned for multi-epoch schedules.
-    cfg = dcfg.get_config("depth", "train", "nyu", embed_dim=192,
-                          encoder_depth=6, n_bins=32, max_depth=max_depth,
-                          bin_centers_type="normed")
+    cfg = dcfg.get_config("depth", "train", "nyu",
+                          embed_dim=args.embed_dim,
+                          encoder_depth=args.encoder_depth,
+                          n_bins=args.n_bins, max_depth=max_depth,
+                          bin_centers_type=args.bin_centers_type)
     model = dcfg.build_model(cfg)
-    tcfg = DepthTrainerConfig(steps_per_epoch=steps, epochs=1, lr=3e-4,
+    tcfg = DepthTrainerConfig(steps_per_epoch=steps, epochs=1, lr=args.lr,
                               max_depth=max_depth,
                               log_dir=os.path.join(REPO, ".proofrun",
                                                    "depth_logs"))
@@ -123,15 +136,19 @@ def main(argv):
     trainer.log_depth_images(te_img[:1], te_d[:1], pred[:1])
 
     payload = {"steps": steps, "size": size, "batch": batch,
+               "embed_dim": args.embed_dim,
+               "encoder_depth": args.encoder_depth,
+               "n_bins": args.n_bins,
+               "bin_centers_type": args.bin_centers_type,
                "wall_s": round(wall, 1),
                "steps_per_s": round(steps / wall, 2),
                "n_params": n_params, "loss_curve": curve, "eval": m,
                "device": str(jax.devices()[0])}
     os.makedirs(os.path.join(REPO, "docs"), exist_ok=True)
-    with open(os.path.join(REPO, "docs", "DEPTH_RUN_r04.json"), "w") as f:
+    with open(os.path.join(REPO, "docs", f"DEPTH_RUN_{args.tag}.json"), "w") as f:
         json.dump(payload, f, indent=1)
     lines = [
-        "# Depth-stack training run — r04 (real TPU chip)",
+        f"# Depth-stack training run — {args.tag} (real TPU chip)",
         "",
         f"`DepthModel` ({n_params / 1e6:.1f}M params: ViT-{cfg.embed_dim} "
         f"encoder ×{cfg.encoder_depth}, DPT decoder, {cfg.n_bins}-bin "
@@ -151,7 +168,7 @@ def main(argv):
         "| step | loss |", "|---|---|",
     ]
     lines += [f"| {s} | {v} |" for s, v in curve[:: max(1, len(curve) // 15)]]
-    with open(os.path.join(REPO, "docs", "DEPTH_RUN_r04.md"), "w") as f:
+    with open(os.path.join(REPO, "docs", f"DEPTH_RUN_{args.tag}.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print(json.dumps({k: v for k, v in payload.items()
                       if k != "loss_curve"}))
