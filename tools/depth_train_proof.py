@@ -124,8 +124,28 @@ def main(argv):
     wall = time.time() - t0
 
     # Held-out eval (hard metric depth, garg/eigen-free full mask).
-    pred = np.asarray(jax.jit(lambda x: model.apply(trainer.params, x)
-                              ["metric_depth"])(jnp.asarray(te_img)))
+    # Retry the eval jit: the remote compile service can drop the
+    # connection transiently (observed r05: "Broken pipe" on the fresh
+    # eval-batch shape after a clean 400-step training run).
+    # Params must be a jit ARGUMENT, not a closure constant: closed-over
+    # arrays serialize into the compile request, and at ViT-B size (93M
+    # params ~ 373 MB) the remote compile service rejects the body
+    # (HTTP 413) or drops the connection (observed r05).
+    eval_fn = jax.jit(lambda p, x: model.apply(p, x)["metric_depth"])
+    pred = None
+    for attempt in range(3):
+        try:
+            pred = np.asarray(eval_fn(trainer.params, jnp.asarray(te_img)))
+            break
+        except Exception as e:
+            print(f"[depth] eval attempt {attempt} failed: {e}", flush=True)
+            time.sleep(20)
+    if pred is None:
+        # Fall back to the (already compiled) train-batch shape.
+        pred = np.concatenate([
+            np.asarray(eval_fn(trainer.params,
+                               jnp.asarray(te_img[i:i + batch])))
+            for i in range(0, len(te_img), batch)])
     pred = np.clip(pred, tcfg.min_depth, max_depth)
     m = compute_metrics(te_d[te_m], pred[te_m], crop=None)
     m = {k: round(float(v), 4) for k, v in m.items()}
